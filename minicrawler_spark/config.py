@@ -1,0 +1,35 @@
+"""Crawl settings — mcrawler_settings + per-URL options as one record
+(src/h/minicrawler.h:34-39, struct.h:6-11, cli.c:50-153). Broadcast to
+executors; everything is deterministic (virtual clock, no wall time).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlSettings:
+    timeout: int = 5                 # seconds (struct.h:7)
+    delay: int = 100                 # ms per host slot (struct.h:8)
+    max_redirects: int = 21          # struct.h:9
+    max_page_size: int = 2 * 1024 * 1024  # struct.h:10-11
+    follow_redirects: bool = True    # -l inverts
+    gzip: bool = False               # -g
+    convert_to_text: bool = False    # -c (html2text the body)
+    convert_to_utf8: bool = False    # -8
+    customagent: str = ""            # -A
+    customheader: str = ""           # -w
+    username: str = ""               # -u
+    password: str = ""               # -p
+    impatient: bool = False          # -i
+    # rebuild additions (north rule)
+    extract_links: bool = False      # feed <a href>/<img src> into frontier
+    dedup: bool = False              # URL-seen anti-join before scheduling
+    respect_robots: bool = False     # robots.txt gating
+    max_depth: int = 3               # link-following depth budget
+    max_rounds: int = 64             # driver-loop bound
+    per_host_budget: int = 0         # 0 = unlimited; else top-k per host/round
+
+    def as_dict(self) -> dict:
+        return self.__dict__.copy()

@@ -1,0 +1,756 @@
+"""The crawl engine — minicrawler's event loop re-expressed as
+batch-iterative Spark rounds (SURVEY.md §2.9, §2.10).
+
+The reference's per-URL state machine (crawler.c:1865-1980) collapses
+into one `mapInPandas` fetch-and-process stage per round; the logical
+states that survive as DataFrame state are exactly: pending, fetched
+(done), redirected (re-enqueue), auth-retry (re-enqueue), error,
+timeout. The driver loop (mcrawler_go, crawler.c:2047-2094) becomes
+`crawl()`: rounds until the frontier drains or budgets expire.
+
+Determinism: a virtual clock. Each job carries `elapsed_ms`; the
+per-host politeness window (test_free_channel, time.c:103-114 →
+Window.partitionBy(host).orderBy(priority, seq)) adds slot*delay, the
+fixture's service delay adds the rest. Crawl order per host =
+(priority, seq) FIFO — the order the correctness gate checks. Cookie
+expiry uses epoch + elapsed, never wall time.
+
+Scale design (north rule):
+- the frontier is repartitioned by xxhash64(host) % N each round so
+  same-host jobs co-locate (connection-reuse locality, politeness
+  enforced within one partition) — hot hosts can be split further by
+  salting on (host, floor(seq/k)),
+- the URL-seen filter is a left_anti join on url_hash (64-bit
+  xxhash64 of the canonical href), with the seen table checkpointed
+  per round; plans/seen.py adds the bloom-sidecar partition pruning,
+- all per-row logic is Arrow-batched (mapInPandas / pandas UDF);
+  nothing row-at-a-time crosses the JVM boundary,
+- per-round lineage is cut with localCheckpoint (or parquet snapshots
+  under checkpoint_dir — the Iceberg-snapshot analogue of
+  serialize.c:146-201, making any round resumable).
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+from typing import Callable, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import CrawlSettings
+
+# ---------------------------------------------------------------------------
+# schemas
+# ---------------------------------------------------------------------------
+
+FRONTIER_FIELDS = [
+    StructField("index", IntegerType()),        # seed job id (minicrawler.h:115)
+    StructField("rawurl", StringType()),
+    StructField("base", StringType()),          # resolve base (redirects/links)
+    StructField("depth", IntegerType()),
+    StructField("seq", LongType()),             # deterministic FIFO tiebreak
+    StructField("priority", DoubleType()),
+    StructField("redirect_limit", IntegerType()),
+    StructField("method", StringType()),
+    StructField("post", BinaryType()),
+    StructField("authorization", StringType()),
+    StructField("auth_attempt", BooleanType()),
+    StructField("cookies_json", StringType()),
+    StructField("redirect_json", StringType()),  # newest-first chain
+    StructField("elapsed_ms", LongType()),
+]
+FRONTIER_SCHEMA = StructType(FRONTIER_FIELDS)
+
+CANON_SCHEMA = StructType(
+    [
+        StructField("href", StringType()),
+        StructField("host", StringType()),      # host[:port]
+        StructField("hostname", StringType()),
+        StructField("scheme", StringType()),
+        StructField("path_query", StringType()),
+        StructField("errkind", StringType()),   # parse|scheme|proto|host|length|''
+    ]
+)
+
+FETCH_OUT_FIELDS = FRONTIER_FIELDS + [
+    StructField("url", StringType()),            # canonical href fetched
+    StructField("host", StringType()),
+    StructField("hostname", StringType()),
+    StructField("scheme", StringType()),
+    StructField("path_query", StringType()),
+    StructField("host_seq", LongType()),
+    StructField("outcome", StringType()),  # done|error|timeout
+    StructField("status", IntegerType()),
+    StructField("error_msg", StringType()),
+    StructField("timeout_state", IntegerType()),
+    StructField("timeout_reason", StringType()),
+    StructField("redirectedto", StringType()),
+    StructField("content_type", StringType()),
+    StructField("charset", StringType()),
+    StructField("wwwauthenticate", StringType()),
+    StructField("body", BinaryType()),
+    StructField("content_length", LongType()),
+    StructField("truncated", BooleanType()),
+    StructField("links_json", StringType()),
+    StructField("spans_json", StringType()),
+    StructField("round", IntegerType()),
+]
+FETCH_OUT_SCHEMA = StructType(FETCH_OUT_FIELDS)
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("offset", IntegerType()),
+        ]
+    )
+)
+COOKIE_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("name", StringType()),
+            StructField("value", StringType()),
+            StructField("domain", StringType()),
+            StructField("path", StringType()),
+            StructField("secure", BooleanType()),
+            StructField("host_only", BooleanType()),
+            StructField("expires", LongType()),
+        ]
+    )
+)
+REDIRECT_TYPE = ArrayType(
+    StructType(
+        [StructField("url", StringType()), StructField("status", IntegerType())]
+    )
+)
+
+# MCURL state numbers for timeout/error mapping (minicrawler.h:87-100)
+S_JUSTBORN, S_PARSEDURL, S_INDNS, S_GOTIP = 0, 1, 2, 3
+S_CONNECT, S_HANDSHAKE, S_GENREQUEST, S_SENDREQUEST = 4, 5, 6, 7
+S_RECVREPLY, S_DOWNLOADED, S_ERROR, S_DONE = 8, 9, 10, 11
+
+TIMEOUT_REASONS = {
+    S_GOTIP: "Waiting for download slot",
+    S_RECVREPLY: "HTTP server timed out",
+}
+
+CRAWL_EPOCH = 1_750_000_000  # virtual wall-clock origin (deterministic)
+
+
+def resolve_fetcher(spec: str) -> Callable:
+    mod, _, fn = spec.partition(":")
+    return getattr(importlib.import_module(mod), fn)
+
+
+# ---------------------------------------------------------------------------
+# seeds
+# ---------------------------------------------------------------------------
+
+
+def seeds_to_frontier(spark: SparkSession, seeds, settings: CrawlSettings) -> DataFrame:
+    """CLI seed-list source (initurls, cli.c:50-153): one frontier row
+    per URL in argv order; `index` ties output back to input."""
+    rows = []
+    for i, s in enumerate(seeds):
+        if isinstance(s, str):
+            s = {"url": s}
+        rows.append(
+            (
+                i,
+                s["url"],
+                None,
+                0,
+                i,
+                0.0,
+                settings.max_redirects,
+                s.get("method", "GET"),
+                s.get("post"),
+                None,
+                False,
+                json.dumps(s.get("cookies", [])),
+                "[]",
+                0,
+            )
+        )
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# the fetch-and-process stage (mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+def _make_fetch_stage(settings: dict, round_no: int):
+    """Build the per-partition fetch function. Everything inside is
+    pure Python over Arrow batches — the reference's states
+    GOTIP..DOWNLOADED plus finish() (crawler.c:1473-1518)."""
+
+    def fetch_stage(batches):
+        import pandas as pd
+
+        from ..functions import urlnorm
+        from ..functions.cookies import (
+            cookie_header,
+            cookie_upsert,
+            parse_set_cookie,
+            remove_expired,
+        )
+        from ..functions.html2text import (
+            convert_charset,
+            detect_charset_from_html,
+            to_spans,
+        )
+        from ..functions.httpproto import (
+            DEFAULT_AGENT,
+            decode_chunked,
+            dispatch_headers,
+            find_head_end,
+            gen_request,
+            gunzip_tolerant,
+            parse_auth_challenge,
+            parse_head,
+            ResponseState,
+        )
+
+        fetcher = resolve_fetcher(settings["fetcher"])
+        timeout_ms = settings["timeout"] * 1000
+        out_cols = [f.name for f in FETCH_OUT_FIELDS]
+
+        def base_out(row) -> dict:
+            d = {c: row.get(c) for c in (f.name for f in FRONTIER_FIELDS)}
+            d.update(
+                {
+                    "url": row.get("href"),
+                    "host": row.get("host"),
+                    "hostname": row.get("hostname"),
+                    "scheme": row.get("scheme"),
+                    "path_query": row.get("path_query"),
+                    "host_seq": row.get("host_seq"),
+                    "outcome": "done",
+                    "status": 0,
+                    "error_msg": "",
+                    "timeout_state": -1,
+                    "timeout_reason": "",
+                    "redirectedto": row.get("redirectedto"),
+                    "content_type": None,
+                    "charset": "",
+                    "wwwauthenticate": None,
+                    "body": None,
+                    "content_length": 0,
+                    "truncated": False,
+                    "links_json": "[]",
+                    "spans_json": None,
+                    "round": round_no,
+                }
+            )
+            return d
+
+        def err(o, status, msg):
+            o["outcome"] = "error"
+            o["status"] = status
+            o["error_msg"] = msg
+            return o
+
+        def process(row) -> dict:
+            o = base_out(row)
+            elapsed = int(row["elapsed_ms"]) + int(row["wait_ms"])
+            # politeness wait blew the budget -> never started
+            if elapsed > timeout_ms:
+                o["outcome"] = "timeout"
+                o["timeout_state"] = S_GOTIP
+                o["timeout_reason"] = TIMEOUT_REASONS[S_GOTIP]
+                o["elapsed_ms"] = elapsed
+                return o
+
+            jar = json.loads(row["cookies_json"] or "[]")
+            chain = json.loads(row["redirect_json"] or "[]")
+            href, host = row["href"], row["host"]
+            hostname, scheme = row["hostname"], row["scheme"]
+            path_query = row["path_query"]
+            method = row["method"]
+            post = row["post"]
+            authorization = row["authorization"]
+            auth_attempt = bool(row["auth_attempt"])
+            redirect_limit = int(row["redirect_limit"])
+            state = None
+
+            def err(status, msg):
+                o["outcome"] = "error"
+                o["status"] = status
+                o["error_msg"] = msg
+                o["elapsed_ms"] = elapsed
+                o["cookies_json"] = json.dumps(jar)
+                o["redirect_json"] = json.dumps(chain)
+                return o
+
+            # the per-job state machine: hops (redirects + one auth
+            # retry) run to completion inside the stage, like the
+            # reference's goone() loop drives one job through all hops.
+            # Same-host hops reuse the connection (no politeness wait,
+            # crawler.c:1624-1632); cross-host hop delay is the fixture
+            # service delay only (per-IP slot bypass: time.c force arg).
+            while True:
+                now = CRAWL_EPOCH + elapsed // 1000
+                jar = remove_expired(jar, now)  # crawler.c:746
+                headers = {
+                    "Host": host,
+                    "User-Agent": settings["customagent"] or DEFAULT_AGENT,
+                }
+                ch = cookie_header(jar, hostname, path_query, scheme)
+                if ch:
+                    headers["Cookie"] = ch
+                if authorization:
+                    headers["Authorization"] = authorization
+
+                raw, delay_ms = fetcher(method, href, headers, post)
+                elapsed += int(delay_ms)
+                if elapsed > timeout_ms:
+                    o["outcome"] = "timeout"
+                    o["timeout_state"] = S_RECVREPLY
+                    o["timeout_reason"] = TIMEOUT_REASONS[S_RECVREPLY]
+                    o["elapsed_ms"] = elapsed
+                    o["cookies_json"] = json.dumps(jar)
+                    o["redirect_json"] = json.dumps(chain)
+                    return o
+
+                head_end = find_head_end(bytes(raw))
+                if head_end is None:
+                    return err(S_RECVREPLY - S_ERROR, "Downloading content failed")
+                parsed = parse_head(bytes(raw[:head_end]))
+                if parsed is None:
+                    return err(S_RECVREPLY - S_ERROR, "Unsupported protocol")
+                status, header_list = parsed
+                state = ResponseState(method, settings["username"])
+                dispatch_headers(state, status, header_list)
+                o["status"] = status
+                o["content_type"] = state.contenttype
+                o["charset"] = state.charset
+                o["wwwauthenticate"] = state.wwwauthenticate
+
+                # Set-Cookie in header order (header_cb -> setcookie)
+                for sc in state.set_cookies:
+                    c = parse_set_cookie(sc, hostname, path_query, now)
+                    if c is not None:
+                        jar = cookie_upsert(jar, c)
+
+                if state.error:
+                    return err(S_RECVREPLY - S_ERROR, state.error_msg)
+
+                body = bytes(raw[head_end:])
+                if state.chunked:
+                    body, _complete = decode_chunked(body)
+                elif state.has_contentlen and state.contentlen >= 0:
+                    body = body[: state.contentlen]
+                if method == "HEAD":
+                    body = b""
+                if len(body) > settings["max_page_size"]:
+                    body = body[: settings["max_page_size"]]
+                    o["truncated"] = True
+
+                # --- cont() (crawler.c:1673-1689) ---
+                if (
+                    settings["follow_redirects"]
+                    and state.location
+                    and method != "HEAD"
+                ):
+                    # resolvelocation (crawler.c:1604-1667)
+                    redirect_limit -= 1
+                    if redirect_limit <= 0:
+                        return err(
+                            S_DOWNLOADED - S_ERROR,
+                            "Too many redirects, possibly a redirect loop",
+                        )
+                    base_parsed = urlnorm.parse_url(href)
+                    u = urlnorm.parse_url(state.location, base_parsed)
+                    if u is None:
+                        return err(S_DOWNLOADED - S_ERROR, "Failed to parse URL")
+                    if not u.scheme:
+                        return err(S_DOWNLOADED - S_ERROR, "URL has no scheme")
+                    if u.scheme not in ("http", "https"):
+                        return err(
+                            S_DOWNLOADED - S_ERROR,
+                            "Protocol [%s] not supported" % u.scheme,
+                        )
+                    if u.host is None or u.cannot_be_a_base:
+                        return err(S_DOWNLOADED - S_ERROR, "URL has no host")
+                    # prepended, newest first (crawler.c:1641-1648); url
+                    # is the RAW Location value, status the hop's response
+                    chain.insert(0, {"url": state.location, "status": status})
+                    o["redirectedto"] = urlnorm.serialize_url(u)  # keeps fragment
+                    g = urlnorm.getters(u)
+                    href = urlnorm.serialize_url(u, exclude_fragment=True)
+                    host, hostname = g["host"], g["hostname"]
+                    scheme = u.scheme
+                    path_query = urlnorm.serialize_path_and_query(u)
+                    method = "GET"  # crawler.c:1650-1656
+                    post = None
+                    authorization = None
+                    auth_attempt = False
+                    continue
+
+                if (
+                    state.wwwauthenticate
+                    and status == 401
+                    and settings["username"]
+                    and not auth_attempt
+                ):
+                    auth, autherr = parse_auth_challenge(
+                        state.wwwauthenticate,
+                        settings["username"],
+                        settings["password"],
+                        method,
+                        path_query,
+                        body,
+                    )
+                    if auth is not None:
+                        authorization = auth
+                        auth_attempt = True
+                        continue
+                    o["error_msg"] = autherr  # recorded, job still finishes
+
+                break  # DOWNLOADED -> finish
+
+            # --- finish() (crawler.c:1473-1518) ---
+            if state.gzipped:
+                unz = gunzip_tolerant(body)
+                if unz is None:
+                    o["status"] = S_DOWNLOADED - S_ERROR
+                else:
+                    body = unz
+            charset = state.charset
+            if settings["convert_to_utf8"]:
+                if not charset:
+                    charset = detect_charset_from_html(body) or ""
+                if not charset:
+                    charset = "ISO-8859-1"  # crawler.c:1489 default
+                conv = convert_charset(body, charset)
+                if conv is None:
+                    o["status"] = S_DOWNLOADED - S_ERROR
+                    o["error_msg"] = "Charset conversion error"
+                else:
+                    body = conv
+                    o["charset"] = "utf-8"
+            is_html = bool(state.contenttype and "html" in state.contenttype)
+            if settings["convert_to_text"] or (
+                settings["extract_links"] and is_html
+            ):
+                spans, links = to_spans(body)
+                o["spans_json"] = json.dumps(spans)
+                if settings["convert_to_text"]:
+                    body = "".join(
+                        s["text"] for s in spans if s["kind"] == "text"
+                    ).encode()
+                if settings["extract_links"]:
+                    resolved = []
+                    for link in links + [
+                        s["media_ref"] for s in spans if s["kind"] == "media"
+                    ]:
+                        href2, _h, sch, fail2 = urlnorm.canonicalize(link, href)
+                        if not fail2 and sch in ("http", "https"):
+                            resolved.append(href2)
+                    o["links_json"] = json.dumps(resolved)
+            jar = remove_expired(jar, CRAWL_EPOCH + elapsed // 1000)
+            o["cookies_json"] = json.dumps(jar)
+            o["redirect_json"] = json.dumps(chain)
+            o["elapsed_ms"] = elapsed
+            o["url"] = href
+            o["body"] = body
+            o["content_length"] = len(body)
+            return o
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = [process(r) for r in pdf.to_dict("records")]
+            yield pd.DataFrame(recs, columns=out_cols)
+
+    return fetch_stage
+
+
+# ---------------------------------------------------------------------------
+# round + driver loop
+# ---------------------------------------------------------------------------
+
+
+def _canonicalize_df(df: DataFrame) -> DataFrame:
+    """Vectorized canonicalization + validity gates (SURVEY §2.2/2.3)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(CANON_SCHEMA)
+    def canon(urls, bases):
+        import pandas as pd
+
+        from ..functions import urlnorm
+
+        out = {k: [] for k in ("href", "host", "hostname", "scheme", "path_query", "errkind")}
+        for u, b in zip(urls, bases):
+            href = host = hostname = scheme = pq = None
+            errkind = ""
+            if u is None or len(u) > 8191:
+                errkind = "length"  # api.c:15-32
+            else:
+                parsed_base = None
+                if b:
+                    parsed_base = urlnorm.parse_url(b)
+                pu = urlnorm.parse_url(u, parsed_base)
+                if pu is None:
+                    errkind = "parse"
+                elif not pu.scheme:
+                    errkind = "scheme"
+                elif pu.scheme not in ("http", "https"):
+                    errkind = "proto:" + pu.scheme  # crawler.c:1572-1600
+                elif pu.host is None or pu.cannot_be_a_base:
+                    errkind = "host"
+                else:
+                    href = urlnorm.serialize_url(pu, exclude_fragment=True)
+                    g = urlnorm.getters(pu)
+                    host = g["host"]
+                    hostname = g["hostname"]
+                    scheme = pu.scheme
+                    pq = urlnorm.serialize_path_and_query(pu)
+            out["href"].append(href)
+            out["host"].append(host)
+            out["hostname"].append(hostname)
+            out["scheme"].append(scheme)
+            out["path_query"].append(pq)
+            out["errkind"].append(errkind)
+        return pd.DataFrame(out)
+
+    return df.withColumn("canon", canon(F.col("rawurl"), F.col("base"))).select(
+        "*", "canon.*"
+    ).drop("canon")
+
+
+_ERR_BY_KIND = {
+    "length": "URL is too long",
+    "parse": "Failed to parse URL",
+    "scheme": "URL has no scheme",
+    "host": "URL has no host",
+}
+
+
+def _gate_errors(df: DataFrame, round_no: int) -> Tuple[DataFrame, DataFrame]:
+    """Split parse-failure rows into error results (status -10:
+    JUSTBORN - ERROR; README.md:121-131)."""
+    bad = df.filter(F.col("errkind") != "")
+    ok = df.filter(F.col("errkind") == "")
+    msg = F.when(
+        F.col("errkind").startswith("proto:"),
+        F.concat(
+            F.lit("Protocol ["),
+            F.regexp_replace("errkind", "^proto:", ""),
+            F.lit("] not supported"),
+        ),
+    )
+    for kind, m in _ERR_BY_KIND.items():
+        msg = msg.when(F.col("errkind") == kind, F.lit(m))
+    errors = bad.select(
+        "*",
+        F.lit("error").alias("outcome"),
+        F.lit(S_JUSTBORN - S_ERROR).alias("status"),
+        msg.alias("error_msg"),
+        F.lit(round_no).alias("round"),
+    )
+    return ok, errors
+
+
+def crawl_round(
+    pending: DataFrame,
+    settings: CrawlSettings,
+    fetcher_spec: str,
+    round_no: int,
+    host_counts: Optional[DataFrame],
+    num_partitions: int,
+):
+    """One crawl round: canonicalize -> gates -> politeness window ->
+    host-salted repartition -> fetch stage. Returns (fetched, errors)."""
+    canon = _canonicalize_df(pending)
+    ok, errors = _gate_errors(canon, round_no)
+
+    # per-host politeness scheduling (SURVEY §2.6): crawl order per
+    # host = (priority, seq) FIFO; slot n waits n*delay ms
+    w = Window.partitionBy("host").orderBy("priority", "seq")
+    ok = ok.withColumn("slot", F.row_number().over(w) - F.lit(1))
+    if host_counts is not None:
+        ok = ok.join(F.broadcast(host_counts), "host", "left").fillna(
+            0, subset=["host_count"]
+        )
+    else:
+        ok = ok.withColumn("host_count", F.lit(0))
+    ok = ok.withColumn("host_seq", F.col("slot") + F.col("host_count")).withColumn(
+        "wait_ms", F.col("slot").cast("long") * settings.delay
+    ).drop("host_count")
+
+    if settings.per_host_budget > 0:
+        ok = ok.filter(F.col("slot") < settings.per_host_budget)
+
+    # co-locate same-host jobs; politeness is enforced by schedule, and
+    # a shared per-host session pool becomes possible inside a partition
+    ok = ok.repartition(num_partitions, F.xxhash64("host"))
+
+    sdict = settings.as_dict()
+    sdict["fetcher"] = fetcher_spec
+    fetched = ok.mapInPandas(_make_fetch_stage(sdict, round_no), FETCH_OUT_SCHEMA)
+    return fetched, errors
+
+
+def crawl(
+    spark: SparkSession,
+    seeds,
+    settings: Optional[CrawlSettings] = None,
+    fetcher_spec: str = "minicrawler_spark.sources.fixtures:fixture_fetcher",
+    num_partitions: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """mcrawler_go (crawler.c:2047-2094) as a driver loop. `seeds` is a
+    list of URL strings/dicts or a frontier DataFrame. Returns the
+    results DataFrame (one row per finished job, plus per-hop rows are
+    folded into redirect chains exactly like the reference)."""
+    settings = settings or CrawlSettings()
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    if isinstance(seeds, DataFrame):
+        frontier = seeds
+    else:
+        frontier = seeds_to_frontier(spark, seeds, settings)
+
+    results: list = []
+    host_counts: Optional[DataFrame] = None
+    seen: Optional[DataFrame] = None
+    round_no = 0
+
+    while round_no < settings.max_rounds:
+        if settings.dedup:
+            frontier = _canonicalize_df(frontier)
+            hashed = frontier.withColumn("url_hash", F.xxhash64("href"))
+            if seen is not None:
+                hashed = hashed.join(seen, "url_hash", "left_anti")
+            new_seen = hashed.select("url_hash").distinct()
+            seen = new_seen if seen is None else seen.union(new_seen).distinct()
+            seen = seen.localCheckpoint(eager=True)
+            frontier = hashed.drop("url_hash", *[f.name for f in CANON_SCHEMA.fields])
+
+        fetched, errors = crawl_round(
+            frontier, settings, fetcher_spec, round_no, host_counts, num_partitions
+        )
+        fetched = fetched.localCheckpoint(eager=True)
+
+        done = fetched.filter(~F.col("outcome").isin("redirect", "auth_retry"))
+        results.append(done)
+        results.append(
+            errors.select(*[f.name for f in FRONTIER_FIELDS],
+                          "href", "host", "hostname", "scheme", "path_query",
+                          "outcome", "status", "error_msg", "round")
+        )
+
+        # cumulative per-host counters for cross-round crawl order
+        round_counts = fetched.groupBy("host").agg(
+            F.count("*").alias("host_count_new")
+        )
+        if host_counts is None:
+            host_counts = round_counts.withColumnRenamed(
+                "host_count_new", "host_count"
+            )
+        else:
+            host_counts = (
+                host_counts.join(round_counts, "host", "outer")
+                .fillna(0)
+                .select(
+                    "host",
+                    (F.col("host_count") + F.col("host_count_new")).alias(
+                        "host_count"
+                    ),
+                )
+            )
+        host_counts = host_counts.localCheckpoint(eager=True)
+
+        # merge-back: redirects + auth retries re-enter the frontier
+        reenq = fetched.filter(
+            F.col("outcome").isin("redirect", "auth_retry")
+        ).select(*[f.name for f in FRONTIER_FIELDS])
+
+        nxt = [reenq]
+        if settings.extract_links:
+            links = (
+                fetched.filter(
+                    (F.col("outcome") == "done")
+                    & (F.col("depth") < settings.max_depth)
+                )
+                .select(
+                    "index",
+                    "depth",
+                    F.explode(
+                        F.from_json("links_json", ArrayType(StringType()))
+                    ).alias("rawurl"),
+                )
+                .select(
+                    F.col("index"),
+                    F.col("rawurl"),
+                    F.lit(None).cast(StringType()).alias("base"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.xxhash64("rawurl").alias("seq"),
+                    (F.col("depth") + 1).cast("double").alias("priority"),
+                    F.lit(settings.max_redirects).alias("redirect_limit"),
+                    F.lit("GET").alias("method"),
+                    F.lit(None).cast(BinaryType()).alias("post"),
+                    F.lit(None).cast(StringType()).alias("authorization"),
+                    F.lit(False).alias("auth_attempt"),
+                    F.lit("[]").alias("cookies_json"),
+                    F.lit("[]").alias("redirect_json"),
+                    F.lit(0).cast(LongType()).alias("elapsed_ms"),
+                )
+                .dropDuplicates(["rawurl"])
+            )
+            nxt.append(links)
+
+        frontier = nxt[0]
+        for extra in nxt[1:]:
+            frontier = frontier.unionByName(extra)
+        frontier = frontier.localCheckpoint(eager=True)
+        if checkpoint_dir is not None:
+            (frontier.write.mode("overwrite")
+             .parquet("%s/frontier/round=%d" % (checkpoint_dir, round_no + 1)))
+
+        round_no += 1
+        if frontier.isEmpty():
+            break
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r, allowMissingColumns=True)
+    return finalize_results(out)
+
+
+def finalize_results(df: DataFrame) -> DataFrame:
+    """Typed result table (the `output` sink, cli.c:200-319): JSON
+    carriers become proper nested columns."""
+    return (
+        df.withColumn("cookies", F.from_json("cookies_json", COOKIE_TYPE))
+        .withColumn("redirect_info", F.from_json("redirect_json", REDIRECT_TYPE))
+        .withColumn("spans", F.from_json("spans_json", SPAN_TYPE))
+        .withColumn("links", F.from_json("links_json", ArrayType(StringType())))
+        .withColumn("doc_id", F.coalesce("url", "rawurl"))
+        .drop("cookies_json", "redirect_json", "spans_json", "links_json")
+    )
+
+
+def resume_frontier(spark: SparkSession, checkpoint_dir: str, round_no: int) -> DataFrame:
+    """Resume from a round snapshot (the serialize.c:146-201 analogue)."""
+    return spark.read.schema(FRONTIER_SCHEMA).parquet(
+        "%s/frontier/round=%d" % (checkpoint_dir, round_no)
+    )
