@@ -1,38 +1,566 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship: a frontier crawl over the
+deterministic fixture web producing interleaved text+media span
+documents (the north-rule target table shape).
+
+`queries()` maps SURVEY.md §2 operators + the training-data additions
+onto the driver's parquet tables; `oracle_sql()` gives the DuckDB
+mirror for every SQL-expressible one. Column names and rounding are
+identical on both sides (floats rounded so double-summation ulp noise
+cannot flip the value hash).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minicrawler_spark.operators import dedup as D
+from minicrawler_spark.operators import similarity as S
+from minicrawler_spark.operators import textstats as T
+from minicrawler_spark.operators.dedup import _P, _perm_coeffs
+from minicrawler_spark.operators.textstats import STOPWORDS
+from minicrawler_spark.operators.similarity import plane_component
+
+EMB_DIM = 64
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Frontier crawl over the fixture web -> interleaved span docs
+    (doc_id, spans, status, host, host_seq, links...)."""
+    from minicrawler_spark.config import CrawlSettings
+    from minicrawler_spark.sources.fixtures import synthetic_seeds
+    from minicrawler_spark.streaming.crawl import crawl
+
+    res = crawl(
+        spark,
+        synthetic_seeds(4, 1),
+        CrawlSettings(
+            timeout=600,
+            extract_links=True,
+            dedup=True,
+            max_depth=1,
+            max_rounds=3,
+        ),
+    )
+    return res.select(
+        "doc_id", "spans", "status", "host", "host_seq", "depth", "round",
+        "content_length", "links",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _tokens_sql(col: str = "text") -> str:
+    return (
+        "list_filter(string_split(lower(%s), ' '), t -> t <> '')" % col
+    )
+
+
+_TOK_HASH = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+
+
+def q_dedup_exact(spark, sf):
+    return D.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_simhash(spark, sf):
+    return D.simhash(_t(spark, sf, "documents"))
+
+
+def q_minhash_sigs(spark, sf):
+    return D.minhash_signatures(_t(spark, sf, "documents"))
+
+
+def q_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+
+
+def q_embed_near_dups(spark, sf):
+    return D.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.9)
+
+
+def q_minhash_dup_pairs(spark, sf):
+    return D.minhash_dup_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def q_ann_topk(spark, sf):
+    return S.brute_force_topk(_t(spark, sf, "embeddings"))
+
+
+def q_ann_lsh(spark, sf):
+    return S.lsh_bucket_ann(_t(spark, sf, "embeddings"), dim=EMB_DIM)
+
+
+def q_token_stats(spark, sf):
+    return T.token_stats(_t(spark, sf, "documents"))
+
+
+def q_quality(spark, sf):
+    return T.quality_score(_t(spark, sf, "documents"))
+
+
+def q_lang_guess(spark, sf):
+    return T.lang_guess(_t(spark, sf, "documents"))
+
+
+def q_fingerprint(spark, sf):
+    return T.fingerprint(_t(spark, sf, "documents"))
+
+
+def q_politeness_lag(spark, sf):
+    """Per-host politeness window (SURVEY §2.6): gap to the previous
+    fetch of the same host (user_id stands in for host)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.lag("ts").over(w).cast("timestamp")),
+            F.lit(-1),
+        ).alias("gap_ms"),
+    )
+
+
+def q_cookie_upsert(spark, sf):
+    """Dedup-last upsert keyed (user_id, event_type) — the cookie-jar
+    replacement rule (cookies.c:334-355) as an aggregate."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+
+
+def q_seen_antijoin(spark, sf):
+    """URL-seen anti-join (SURVEY §2.4): orders with no lineitem."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_custkey")
+
+
+def q_topk_per_host(spark, sf):
+    """Top-k per host (frontier budget, SURVEY §2.6)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rk")
+    )
+
+
+def q_done_scan(spark, sf):
+    """Done/notdone scan (crawler.c:2060-2089) as count_if."""
+    orders = _t(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_done"),
+        F.count_if(F.col("o_orderstatus") != "F").alias("n_pending"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def q_redirect_chain(spark, sf):
+    """Ordered chain accumulation (crawler.c:1641-1648): event-type
+    chain per user in (ts, event_id) order, newest first."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.reverse(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                )
+            ),
+            ">",
+        ).alias("chain"),
+        F.count("*").alias("n_hops"),
+    )
+
+
+def q_frontier_merge(spark, sf):
+    """Frontier merge (redirects ∪ new links ∪ carryover) as
+    unionByName + dropDuplicates (SURVEY §2.7)."""
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("key"), F.lit("order").alias("src")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("key"), F.lit("lineitem").alias("src")
+    )
+    return (
+        orders.unionByName(li)
+        .groupBy("key")
+        .agg(F.count("*").alias("n_sources"))
+    )
+
+
+def q_cookie_send_match(spark, sf):
+    """Suffix/prefix predicate join (cookies.c:128-150 shape): events
+    joined to customers on key ranges + a string boundary predicate."""
+    ev = _t(spark, sf, "events")
+    cust = _t(spark, sf, "customer")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .filter(F.col("c_mktsegment").startswith("B") | F.col("c_name").endswith("1"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_url_canonicalize(spark, sf):
+    """WHATWG canonicalization over synthesized messy URLs (rows-only;
+    the 311-case corpus in tests/ is the hard gate)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("href", StringType()), StructField("host", StringType())]
+    )
+
+    @pandas_udf(schema)
+    def canon(urls):
+        import pandas as pd
+
+        from minicrawler_spark.functions.urlnorm import canonicalize
+
+        hrefs, hosts = [], []
+        for u in urls:
+            h, ho, _s, fail = canonicalize(u)
+            hrefs.append(None if fail else h)
+            hosts.append(None if fail else ho)
+        return pd.DataFrame({"href": hrefs, "host": hosts})
+
+    docs = _t(spark, sf, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".EXAMPLE.com:80/"),
+            F.col("source"),
+            F.lit("/.././p"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q=1"),
+        ).alias("rawurl"),
+    )
+    return messy.withColumn("c", canon(F.col("rawurl"))).select(
+        "doc_id", "c.href", "c.host"
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_simhash": q_simhash,
+    "q_minhash_sigs": q_minhash_sigs,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_embed_near_dups": q_embed_near_dups,
+    "q_minhash_dup_pairs": q_minhash_dup_pairs,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_lsh": q_ann_lsh,
+    "q_token_stats": q_token_stats,
+    "q_quality": q_quality,
+    "q_lang_guess": q_lang_guess,
+    "q_fingerprint": q_fingerprint,
+    "q_politeness_lag": q_politeness_lag,
+    "q_cookie_upsert": q_cookie_upsert,
+    "q_seen_antijoin": q_seen_antijoin,
+    "q_topk_per_host": q_topk_per_host,
+    "q_done_scan": q_done_scan,
+    "q_redirect_chain": q_redirect_chain,
+    "q_frontier_merge": q_frontier_merge,
+    "q_cookie_send_match": q_cookie_send_match,
+    "q_url_canonicalize": q_url_canonicalize,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    b_exprs = ",\n      ".join(
+        "sum(case when (h >> %d) & 1 = 1 then 1 else -1 end) as b%d" % (j, j)
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        "(case when b%d >= 0 then %d::BIGINT else 0 end)" % (j, 1 << j)
+        for j in range(bits)
+    )
+    return """
+    with toks as (
+      select doc_id, unnest(%s) as t from documents
+    ), hashed as (
+      select doc_id, %s as h from toks
+    ), voted as (
+      select doc_id, %s from hashed group by doc_id
+    )
+    select doc_id, (%s)::BIGINT as simhash from voted
+    """ % (_tokens_sql(), _TOK_HASH, b_exprs, sig)
+
+
+def _minhash_sql(k: int = 16) -> str:
+    aggs = ",\n      ".join(
+        "min((h * %d + %d) %% %d) as mh%d" % (a, b, _P, i)
+        for i, (a, b) in enumerate(_perm_coeffs(k))
+    )
+    return """
+    with toks as (
+      select distinct doc_id, unnest(%s) as t from documents
+    ), hashed as (
+      select doc_id, (%s) %% %d as h from toks
+    )
+    select doc_id, %s from hashed group by doc_id
+    """ % (_tokens_sql(), _TOK_HASH, _P, aggs)
+
+
+def _ngrams_sql(n: int = 3) -> str:
+    parts = " || '_' || ".join("toks[i + %d]" % j for j in range(n))
+    return """
+      select doc_id, lang, (n_chars // 64) as size_bucket,
+             list_distinct([%s for i in range(1, len(toks) - %d + 2)]) as grams
+      from (select doc_id, lang, n_chars, %s as toks from documents)
+    """ % (parts, n, _tokens_sql())
+
+
+def _stopfilter_sql(words) -> str:
+    arr = "[" + ",".join("'%s'" % w for w in words) + "]"
+    return "len(list_filter(toks, t -> list_contains(%s, t)))" % arr
+
+
+def _plane_sql(i: int, dim: int = EMB_DIM) -> str:
+    return "[" + ",".join("%s" % plane_component(i, d) for d in range(dim)) + "]"
+
+
+def _lsh_sig_sql(n_planes: int = 8) -> str:
+    terms = " + ".join(
+        "(case when list_dot_product(v, %s) >= 0 then %d::BIGINT else 0 end)"
+        % (_plane_sql(i), 1 << i)
+        for i in range(n_planes)
+    )
+    return (
+        "select vec_id, (%s)::BIGINT as bucket, v from "
+        "(select vec_id, embedding::DOUBLE[] as v from embeddings)" % terms
+    )
+
+
+_COS = (
+    "round(list_dot_product(l.v, r.v) / "
+    "(sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 4)"
+)
+
+ORACLES = {
+    "q_dedup_exact": """
+      select min(doc_id) as keep_doc_id, count(*) as n_copies
+      from documents group by text
+    """,
+    "q_simhash": _simhash_sql(),
+    "q_minhash_sigs": _minhash_sql(),
+    "q_ngram_jaccard": """
+      with g as (%s)
+      select l.doc_id as doc_a, r.doc_id as doc_b,
+             round(len(list_intersect(l.grams, r.grams))::DOUBLE /
+                   len(list_distinct(l.grams || r.grams)), 6) as jaccard
+      from g l join g r
+        on l.lang = r.lang and l.size_bucket = r.size_bucket
+       and l.doc_id < r.doc_id
+      where round(len(list_intersect(l.grams, r.grams))::DOUBLE /
+                  len(list_distinct(l.grams || r.grams)), 6) >= 0.5
+    """ % _ngrams_sql(),
+    "q_embed_near_dups": """
+      with e as (select vec_id, label, embedding::DOUBLE[] as v from embeddings)
+      select l.vec_id as vec_a, r.vec_id as vec_b, %s as cosine
+      from e l join e r on l.label = r.label and l.vec_id < r.vec_id
+      where %s >= 0.9
+    """ % (_COS, _COS),
+    "q_ann_topk": """
+      with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      q as (select vec_id as query_id, v from e where vec_id < 5),
+      scored as (
+        select q.query_id, l.vec_id,
+               round(list_dot_product(q.v, l.v) /
+                     (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(l.v, l.v))), 4) as cosine
+        from e l join q on l.vec_id <> q.query_id
+      )
+      select query_id, vec_id, cosine, rank from (
+        select *, row_number() over (partition by query_id
+                                     order by cosine desc, vec_id asc) as rank
+        from scored
+      ) where rank <= 5
+    """,
+    "q_ann_lsh": """
+      with sig as (%s),
+      scored as (
+        select l.vec_id as query_id, r.vec_id as vec_id, %s as cosine
+        from sig l join sig r on l.bucket = r.bucket and l.vec_id <> r.vec_id
+      )
+      select query_id, vec_id, cosine, rank from (
+        select *, row_number() over (partition by query_id
+                                     order by cosine desc, vec_id asc) as rank
+        from scored
+      ) where rank <= 3
+    """ % (_lsh_sig_sql(), _COS),
+    "q_token_stats": """
+      with t as (select doc_id, text, %s as toks from documents)
+      select doc_id,
+             len(toks) as n_tokens,
+             coalesce(list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)::BIGINT)), 0)::BIGINT as n_subwords,
+             length(text) as n_chars_actual,
+             round(length(text)::DOUBLE / greatest(len(toks), 1), 4) as mean_token_len
+      from t
+    """ % _tokens_sql(),
+    "q_quality": """
+      with t as (select doc_id, text, %s as toks from documents),
+      m as (
+        select doc_id,
+          %s::DOUBLE / greatest(len(toks), 1) as stop_ratio,
+          length(regexp_replace(text, '[^!?.,;:]', '', 'g'))::DOUBLE
+            / greatest(length(text), 1) as punct_ratio,
+          length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+            / greatest(length(text), 1) as upper_ratio,
+          least(length(text) / 500.0, 1.0) as len_score
+        from t
+      )
+      select doc_id, round(stop_ratio, 4) as stop_ratio,
+             round(punct_ratio, 4) as punct_ratio,
+             round(0.4 * len_score + 0.3 * least(stop_ratio * 4, 1.0)
+                   + 0.2 * (1.0 - least(punct_ratio * 10, 1.0))
+                   + 0.1 * (1.0 - least(upper_ratio * 5, 1.0)), 4) as quality
+      from m
+    """ % (_tokens_sql(), _stopfilter_sql(STOPWORDS["en"])),
+    "q_lang_guess": """
+      with t as (select doc_id, lang, %s as toks from documents),
+      s as (
+        select doc_id, lang as lang_label,
+          [%s]
+          as cand
+        from t
+      )
+      select doc_id, lang_label,
+             list_max(cand)['lang'] as lang_pred,
+             list_max(cand)['score'] as lang_score
+      from s
+    """ % (
+        _tokens_sql(),
+        ",".join(
+            "{'score': round(%s::DOUBLE / greatest(len(toks), 1), 6), 'lang': '%s'}"
+            % (_stopfilter_sql(words), lang)
+            for lang, words in STOPWORDS.items()
+        ),
+    ),
+    "q_fingerprint": """
+      with t as (select doc_id, %s as toks from documents),
+      g as (
+        select doc_id,
+               [toks[i] || '_' || toks[i+1] || '_' || toks[i+2]
+                for i in range(1, len(toks) - 1)] as grams
+        from t
+      ),
+      ex as (select doc_id, unnest(grams) as gr from g),
+      agg as (
+        select doc_id, min(md5(gr)) as fp_min, max(md5(gr)) as fp_max,
+               count(*) as n_shingles
+      from ex group by doc_id
+      )
+      select d.doc_id, fp_min, fp_max, coalesce(n_shingles, 0) as n_shingles
+      from documents d left join agg on agg.doc_id = d.doc_id
+    """ % _tokens_sql(),
+    "q_politeness_lag": """
+      select event_id, user_id,
+             coalesce(epoch_ms(ts) - lag(epoch_ms(ts)) over
+               (partition by user_id order by ts, event_id), -1) as gap_ms
+      from events
+    """,
+    "q_cookie_upsert": """
+      select user_id, event_type, event_id as last_event_id,
+             round(value, 4) as last_value
+      from (
+        select *, row_number() over (partition by user_id, event_type
+                                     order by ts desc, event_id desc) as rk
+        from events
+      ) where rk = 1
+    """,
+    "q_seen_antijoin": """
+      select o_orderkey, o_custkey from orders o
+      where not exists (select 1 from lineitem l where l.l_orderkey = o.o_orderkey)
+    """,
+    "q_topk_per_host": """
+      select user_id, event_id, round(value, 4) as value, rk from (
+        select *, row_number() over (partition by user_id
+                                     order by value desc, event_id asc) as rk
+        from events
+      ) where rk <= 3
+    """,
+    "q_done_scan": """
+      select o_orderpriority,
+             count_if(o_orderstatus = 'F') as n_done,
+             count_if(o_orderstatus <> 'F') as n_pending,
+             count(*) as n_total
+      from orders group by o_orderpriority
+    """,
+    "q_redirect_chain": """
+      select user_id,
+             string_agg(event_type, '>' order by ts desc, event_id desc) as chain,
+             count(*) as n_hops
+      from events group by user_id
+    """,
+    "q_frontier_merge": """
+      select key, count(*) as n_sources from (
+        select o_orderkey as key from orders
+        union all
+        select l_orderkey as key from lineitem
+      ) group by key
+    """,
+    "q_cookie_send_match": """
+      select c_mktsegment, count(*) as n_events,
+             round(sum(value), 2) as total_value
+      from events e join customer c on e.user_id = c.c_custkey
+      where starts_with(c_mktsegment, 'B') or ends_with(c_name, '1')
+      group by c_mktsegment
+    """,
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents. q_minhash_dup_pairs and q_url_canonicalize
+    are intentionally absent (LSH banding / WHATWG parsing are not
+    SQL-expressible) -> driver records rows-only checks; the pytest
+    suites are their hard gates."""
+    return dict(ORACLES)

@@ -1,0 +1,195 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ..., plus throughput extras}.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_FRONTIER (frontier size, default 1_000_000).
+
+The headline is the north-rule metric: frontier scheduling throughput
+(URLs canonicalized + hashed + deduped + politeness-scheduled per
+second) on a synthetic frontier with realistic mess (duplicates,
+uppercase, default ports, dot segments), plus the fixture-web crawl
+(pages/sec) and the operator suite at the given sf.
+
+Scaling evidence (N vs 4N): run with SPARK_GRAFT_CPUS=8 then 32 and
+compare frontier_urls_per_sec (see BENCH.md; tools_scaling.py does
+both in one go).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[%d]" % cpus)
+        .appName("minicrawler-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .getOrCreate()
+    )
+
+
+def synthetic_frontier(spark, n: int):
+    """Deterministic messy frontier: ~70% already-canonical (fast
+    path), ~30% needing real work (case, default port, dot segments,
+    percent forms), ~12% duplicates after canonicalization."""
+    from pyspark.sql import functions as F
+
+    # k collides for the top 10% of ids -> exactly n/10 duplicate
+    # canonical URLs for the seen-filter to drop
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % (9 * n // 10)).alias("k"),
+    ).select(
+        F.col("id"),
+        (F.col("k") % 9973).alias("h"),
+        (F.col("k") % 8).alias("v"),
+        F.col("k"),
+    )
+    url = (
+        F.when(
+            F.col("v") < 5,
+            F.format_string("http://host%d.example.com/page/%d?q=%d", "h", F.col("k") % 5000, "v"),
+        )
+        .when(
+            F.col("v") == 5,
+            F.format_string("HTTP://HOST%d.Example.COM:80/page/%d", "h", F.col("k") % 5000),
+        )
+        .when(
+            F.col("v") == 6,
+            F.format_string("http://host%d.example.com/a/../page/%d", "h", F.col("k") % 5000),
+        )
+        .otherwise(
+            F.format_string("http://host%d.example.com/p%%61ge/%d#frag", "h", F.col("k") % 5000)
+        )
+    )
+    return df.select(F.col("id").alias("seq"), url.alias("rawurl"))
+
+
+def bench_frontier(spark, n: int) -> dict:
+    """Canonicalize -> xxhash64 -> URL-seen dedup -> per-host
+    politeness slots -> count. The north-rule scheduling path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from minicrawler_spark.streaming.crawl import _canonicalize_df
+
+    frontier = synthetic_frontier(spark, n).withColumn("base", F.lit(None).cast("string"))
+    t0 = time.time()
+    canon = _canonicalize_df(frontier)
+    hashed = canon.filter(F.col("errkind") == "").withColumn(
+        "url_hash", F.xxhash64("href")
+    )
+    deduped = hashed.dropDuplicates(["url_hash"])
+    w = Window.partitionBy("host").orderBy("seq")
+    scheduled = deduped.withColumn("slot", F.row_number().over(w) - 1).withColumn(
+        "scheduled_ms", F.col("slot") * 100
+    )
+    out = scheduled.agg(
+        F.count("*").alias("n"), F.max("slot").alias("max_slot")
+    ).collect()[0]
+    dt = time.time() - t0
+    return {"sec": dt, "urls": n, "scheduled": out["n"], "urls_per_sec": n / dt}
+
+
+def bench_crawl(spark) -> dict:
+    from minicrawler_spark.config import CrawlSettings
+    from minicrawler_spark.sources.fixtures import synthetic_seeds
+    from minicrawler_spark.streaming.crawl import crawl
+
+    t0 = time.time()
+    res = crawl(
+        spark,
+        synthetic_seeds(32, 4),
+        CrawlSettings(
+            timeout=3600, extract_links=True, dedup=True, max_depth=2, max_rounds=4
+        ),
+    )
+    n = res.count()
+    dt = time.time() - t0
+    return {"sec": dt, "pages": n, "pages_per_sec": n / dt}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    frontier_n = int(os.environ.get("SPARK_GRAFT_FRONTIER", "1000000"))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = {}
+    total = 0.0
+
+    fr = bench_frontier(spark, frontier_n)
+    queries["frontier_schedule"] = round(fr["sec"], 3)
+    total += fr["sec"]
+
+    cr = bench_crawl(spark)
+    queries["fixture_crawl"] = round(cr["sec"], 3)
+    total += cr["sec"]
+
+    # operator suite on the sf tables (cheap ones at full sf)
+    suite = [
+        "q_dedup_exact",
+        "q_simhash",
+        "q_minhash_sigs",
+        "q_ngram_jaccard",
+        "q_ann_topk",
+        "q_ann_lsh",
+        "q_token_stats",
+        "q_quality",
+        "q_lang_guess",
+        "q_fingerprint",
+        "q_politeness_lag",
+        "q_cookie_upsert",
+        "q_seen_antijoin",
+        "q_topk_per_host",
+        "q_done_scan",
+        "q_redirect_chain",
+        "q_frontier_merge",
+        "q_cookie_send_match",
+    ]
+    qs = entrymod.queries()
+    for name in suite:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "frontier schedule+dedup throughput and operator suite wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "frontier_urls": fr["urls"],
+                "frontier_urls_per_sec": round(fr["urls_per_sec"], 1),
+                "frontier_unique_scheduled": fr["scheduled"],
+                "crawl_pages": cr["pages"],
+                "crawl_pages_per_sec": round(cr["pages_per_sec"], 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

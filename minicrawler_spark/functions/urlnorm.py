@@ -229,6 +229,10 @@ def _check_hyphens(label: str) -> bool:
     return True
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def _domain_to_ascii(domain_bytes: bytes) -> Optional[str]:
     """UTS46 ToASCII: nontransitional, CheckBidi, CheckContextJ,
     UseSTD3ASCIIRules=false, CheckHyphens=true (ICU hardcodes it),

@@ -1,0 +1,124 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting (north-rule
+additions). Everything is built-in pyspark.sql.functions — JVM-side,
+whole-stage-codegen'd, SQL-mirrorable for the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokenize, _word_ngrams
+
+__all__ = ["STOPWORDS", "token_stats", "quality_score", "lang_guess", "fingerprint"]
+
+# tiny per-language stopword lists (shared verbatim with the SQL oracle)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "are"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "pour", "dans"],
+    "es": ["el", "la", "que", "de", "los", "es", "por", "con", "para", "una"],
+}
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword proxy
+    (ceil(chars/4) per token, the common bytes-per-token heuristic)."""
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda s, t: s + F.ceil(F.length(t) / 4).cast("long"),
+        ).alias("n_subwords"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.length("text")
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length, punctuation density,
+    uppercase density, stopword coverage (English list). Deterministic
+    closed formula; the oracle repeats it verbatim in SQL."""
+    toks = tokenize(F.col("text"))
+    n_tok = F.size(toks)
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", r"[^!?.,;:]", "")) / F.greatest(F.length("text"), F.lit(1))
+    )
+    upper_ratio = (
+        F.length(F.regexp_replace("text", r"[^A-Z]", "")) / F.greatest(F.length("text"), F.lit(1))
+    )
+    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(upper_ratio * 5, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_guess(docs: DataFrame) -> DataFrame:
+    """Language ID via stopword-hit argmax over the four lists —
+    the n-gram-heuristic family, engine-portable."""
+    toks = tokenize(F.col("text"))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.round(
+                    F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n_tok,
+                    6,
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        best["lang"].alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Document fingerprint: min/max of md5 over word 3-shingles — a
+    rolling-window content signature (MinHash k=1 plus an anchor),
+    stable across engines. Explode+aggregate, not per-row array
+    transforms: Catalyst re-evaluates a higher-order-function chain
+    once per referencing expression (3x md5 of every shingle,
+    measured 44s -> 4s at sf0.1)."""
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(tokenize(F.col("text")), n)).alias("g")
+    )
+    agg = grams.groupBy("doc_id").agg(
+        F.min(F.md5("g")).alias("fp_min"),
+        F.max(F.md5("g")).alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )
+    # docs with < n tokens have no shingles but keep a row
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id", "fp_min", "fp_max",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        )
+    )

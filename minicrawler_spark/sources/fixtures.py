@@ -85,9 +85,18 @@ def _page_html(host: str, i: int, n_hosts: int = 8, fanout: int = 3) -> bytes:
     imgs = ["/image/im%d.png" % (seed % 9), "/image/im%d.png" % ((seed + 1) % 9)]
     body = ["<html><head><title>Page %d on %s</title></head><body>" % (i, host)]
     body.append("<h1>Page %d</h1>" % i)
+    filler_words = [
+        "crawl", "frontier", "index", "fetch", "parse", "token", "shard",
+        "queue", "robots", "anchor", "render", "cache", "delta", "batch",
+    ]
     for j, l in enumerate(links):
-        body.append('<p>para %d with <a href="%s">link %d</a> and words w%d</p>'
-                    % (j, l, j, (seed >> j) % 100))
+        filler = " ".join(
+            filler_words[(seed >> (j + k)) % len(filler_words)]
+            + str((seed >> k) % 97)
+            for k in range(120)
+        )
+        body.append('<p>para %d with <a href="%s">link %d</a> and %s</p>'
+                    % (j, l, j, filler))
     for img in imgs:
         body.append('<img src="%s">' % img)
     body.append("<table><tr><td>cell&nbsp;A</td><td>caf&eacute;</td></tr></table>")

@@ -1,0 +1,178 @@
+"""Operator suite: dedup/similarity/textstats invariants, the bloom
+seen-filter, and multimodal plumbing. The DuckDB cross-engine equality
+is exercised by the driver gate (and tools_gate_check.py); here we
+check semantic invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs(spark):
+    return spark.read.parquet(SF + "/documents.parquet")
+
+
+def emb(spark):
+    return spark.read.parquet(SF + "/embeddings.parquet")
+
+
+def test_exact_dedup(spark):
+    from minicrawler_spark.operators.dedup import exact_dedup
+
+    d = docs(spark)
+    out = exact_dedup(d)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == d.count()
+    assert out.filter("n_copies > 1").count() >= 0
+
+
+def test_simhash_similar_docs_close(spark):
+    from minicrawler_spark.operators.dedup import simhash
+
+    d = docs(spark).limit(50)
+    base = simhash(d)
+    # identical text -> identical simhash
+    twin = simhash(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    j = base.join(
+        twin, base.doc_id + 100000 == twin.doc_id
+    ).filter(base.simhash != twin.simhash)
+    assert j.count() == 0
+
+
+def test_minhash_estimates_jaccard(spark):
+    from minicrawler_spark.operators.dedup import minhash_signatures
+
+    d = docs(spark)
+    sigs = minhash_signatures(d, k=16).collect()
+    assert len(sigs) == d.count()
+    # identical docs agree on all 16 permutations
+    by_text = docs(spark).select("doc_id", "text").collect()
+    texts = {}
+    for r in by_text:
+        texts.setdefault(r["text"], []).append(r["doc_id"])
+    sig_by_id = {r["doc_id"]: tuple(r[i + 1] for i in range(16)) for r in sigs}
+    for text, ids in texts.items():
+        if len(ids) > 1:
+            assert len({sig_by_id[i] for i in ids}) == 1
+
+
+def test_ngram_jaccard_pairs_symmetric_bounded(spark):
+    from minicrawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs(spark), threshold=0.3).collect()
+    for p in pairs:
+        assert p["doc_a"] < p["doc_b"]
+        assert 0.3 <= p["jaccard"] <= 1.0
+
+
+def test_ann_brute_force(spark):
+    from minicrawler_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(emb(spark), n_queries=3, k=4)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    assert set(per_q) == {0, 1, 2}
+    for q, items in per_q.items():
+        items.sort()
+        assert [r for r, _ in items] == [1, 2, 3, 4]
+        cs = [c for _, c in items]
+        assert cs == sorted(cs, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cs)
+
+
+def test_lsh_bucket_finds_planted_duplicates(spark):
+    """Identical vectors share every hyperplane sign -> same bucket ->
+    the LSH ANN must return the twin at cosine 1.0. (Recall on the
+    near-random synthetic vectors is inherently low — top-1 brute-force
+    cosine is only ~0.33 — so planted twins are the meaningful gate.)"""
+    from minicrawler_spark.operators.similarity import lsh_bucket_ann, lsh_signature
+
+    base = emb(spark).limit(20)
+    twins = base.withColumn("vec_id", F.col("vec_id") + 10000)
+    both = base.unionByName(twins)
+    # same bucket for twins
+    sig = {r["vec_id"]: r["bucket"] for r in lsh_signature(both, 8, 64).collect()}
+    for vid in range(20):
+        if vid in sig and vid + 10000 in sig:
+            assert sig[vid] == sig[vid + 10000]
+    out = lsh_bucket_ann(both, dim=64, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    found = 0
+    for vid in range(20):
+        hits = {r["vec_id"]: r["cosine"] for r in by_q.get(vid, [])}
+        if hits.get(vid + 10000) == 1.0:
+            found += 1
+    assert found == 20
+
+
+def test_textstats(spark):
+    from minicrawler_spark.operators.textstats import (
+        lang_guess,
+        quality_score,
+        token_stats,
+    )
+
+    ts = token_stats(docs(spark))
+    r = ts.agg(F.min("n_tokens"), F.max("mean_token_len")).collect()[0]
+    assert r[0] >= 1
+    q = quality_score(docs(spark))
+    bounds = q.agg(F.min("quality"), F.max("quality")).collect()[0]
+    assert 0.0 <= bounds[0] and bounds[1] <= 1.0
+    lg = lang_guess(docs(spark))
+    assert lg.filter(F.col("lang_pred").isNull()).count() == 0
+
+
+def test_fingerprint_stability(spark):
+    from minicrawler_spark.operators.textstats import fingerprint
+
+    a = {r["doc_id"]: (r["fp_min"], r["fp_max"]) for r in fingerprint(docs(spark)).collect()}
+    b = {r["doc_id"]: (r["fp_min"], r["fp_max"]) for r in fingerprint(docs(spark)).collect()}
+    assert a == b
+
+
+def test_seen_filter_bloom(spark, tmp_path):
+    from minicrawler_spark.plans.seen import SeenFilter
+
+    sf = SeenFilter(spark, str(tmp_path / "seen"), n_shards=4)
+    batch1 = spark.range(1000).select(F.xxhash64("id").alias("url_hash"))
+    sf.add(batch1)
+    assert sf.count == 1000
+    # exactness: all of batch1 is seen, none of batch2 is
+    batch2 = spark.range(1000, 2000).select(F.xxhash64("id").alias("url_hash"))
+    assert sf.novel(batch1).count() == 0
+    assert sf.novel(batch2).count() == 1000
+    # idempotent add
+    sf.add(batch1)
+    assert sf.count == 1000
+    sf.add(batch2)
+    assert sf.count == 2000
+
+
+def test_multimodal_plumbing(spark):
+    from minicrawler_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+    )
+
+    rows = [
+        ("http://x/im1.png", "image", "image/png", b"\x89PNG\r\n\x1a\nabcdef"),
+        ("http://x/im2.png", "image", "image/png", b"\x89PNG\r\n\x1a\nzzzzzz"),
+        ("http://x/bad.jpg", "image", "image/jpeg", b"\xff\xd8\xff\xe0junk"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_and_featurize(media)
+    assert out.schema == FEATURE_SCHEMA
+    got = {r["media_ref"]: r for r in out.collect()}
+    assert got["http://x/im1.png"]["width"] is not None
+    assert len(bytes(got["http://x/im1.png"]["feature"])) == 64
+    assert got["http://x/bad.jpg"]["decode_error"] is not None
+    assert got["http://x/bad.jpg"]["sha256"] is not None
+    # determinism
+    again = {r["media_ref"]: r["sha256"] for r in decode_and_featurize(media).collect()}
+    assert again == {k: v["sha256"] for k, v in got.items()}
