@@ -240,6 +240,51 @@ def q_cookie_send_match(spark, sf):
     )
 
 
+# deterministic rule set for the robots-gate query: overlapping
+# prefixes exercise longest-match + allow-beats-disallow-on-tie
+_ROBOTS_RULES = [
+    (False, "/click"),
+    (True, "/click/3"),
+    (False, "/view"),
+    (True, "/view"),      # tie with previous -> allow wins
+    (False, "/purchase/1"),
+]
+
+
+def q_robots_gate(spark, sf):
+    """robots.txt longest-match gate (functions/robots.py, RFC 9309)
+    over synthesized paths: path = /<event_type>/<event_id % 5>."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    rules_json = _json.dumps(_ROBOTS_RULES)
+
+    @pandas_udf(BooleanType())
+    def allowed(paths):
+        import pandas as pd
+
+        from minicrawler_spark.functions.robots import robots_allowed_batch
+
+        return pd.Series(
+            robots_allowed_batch([rules_json] * len(paths), paths)
+        )
+
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.concat(
+                F.lit("/"), "event_type", F.lit("/"),
+                (F.col("event_id") % 5).cast("string"),
+            ).alias("path"),
+        )
+        .withColumn("allowed", allowed(F.col("path")))
+        .select("event_id", "path", "allowed")
+    )
+
+
 def q_url_canonicalize(spark, sf):
     """WHATWG canonicalization over synthesized messy URLs (rows-only;
     the 311-case corpus in tests/ is the hard gate)."""
@@ -302,6 +347,7 @@ QUERIES = {
     "q_redirect_chain": q_redirect_chain,
     "q_frontier_merge": q_frontier_merge,
     "q_cookie_send_match": q_cookie_send_match,
+    "q_robots_gate": q_robots_gate,
     "q_url_canonicalize": q_url_canonicalize,
 }
 
@@ -555,6 +601,29 @@ ORACLES = {
       where starts_with(c_mktsegment, 'B') or ends_with(c_name, '1')
       group by c_mktsegment
     """,
+    "q_robots_gate": """
+      with p as (
+        select event_id,
+               '/' || event_type || '/' || (event_id %% 5)::VARCHAR as path
+        from events
+      ), r(allow, pattern) as (
+        values %s
+      ), m as (
+        select p.event_id, r.allow, length(r.pattern) as plen
+        from p join r on starts_with(p.path, r.pattern)
+      ), best as (
+        select event_id, allow,
+               row_number() over (partition by event_id
+                                  order by plen desc, allow desc) as rk
+        from m
+      )
+      select p.event_id, p.path, coalesce(b.allow, true) as allowed
+      from p left join (select event_id, allow from best where rk = 1) b
+        using (event_id)
+    """ % ", ".join(
+        "(%s, '%s')" % ("true" if a else "false", pat)
+        for a, pat in _ROBOTS_RULES
+    ),
 }
 
 

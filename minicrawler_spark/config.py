@@ -30,6 +30,15 @@ class CrawlSettings:
     max_depth: int = 3               # link-following depth budget
     max_rounds: int = 64             # driver-loop bound
     per_host_budget: int = 0         # 0 = unlimited; else top-k per host/round
+    hot_host_split: int = 1024       # split a host across partitions every
+                                     # k scheduled slots (0 = never split);
+                                     # politeness stays correct because the
+                                     # wait schedule is computed globally
+                                     # before the repartition
+    use_sharded_seen: bool = False   # URL-seen via plans/seen.SeenFilter
+                                     # (bloom-pruned parquet shards) instead
+                                     # of the in-memory distinct-union;
+                                     # requires checkpoint_dir
 
     def as_dict(self) -> dict:
         return self.__dict__.copy()

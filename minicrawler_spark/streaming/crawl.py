@@ -92,6 +92,7 @@ FETCH_OUT_FIELDS = FRONTIER_FIELDS + [
     StructField("scheme", StringType()),
     StructField("path_query", StringType()),
     StructField("host_seq", LongType()),
+    StructField("partition_id", IntegerType()),  # lineage: producing partition
     StructField("outcome", StringType()),  # done|error|timeout
     StructField("status", IntegerType()),
     StructField("error_msg", StringType()),
@@ -151,6 +152,15 @@ TIMEOUT_REASONS = {
 
 CRAWL_EPOCH = 1_750_000_000  # virtual wall-clock origin (deterministic)
 
+ROBOTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("rules_json", StringType()),
+        StructField("crawl_delay_ms", LongType()),
+        StructField("robots_status", IntegerType()),
+    ]
+)
+
 
 def resolve_fetcher(spec: str) -> Callable:
     mod, _, fn = spec.partition(":")
@@ -202,6 +212,7 @@ def _make_fetch_stage(settings: dict, round_no: int):
 
     def fetch_stage(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
         from ..functions import urlnorm
         from ..functions.cookies import (
@@ -230,6 +241,8 @@ def _make_fetch_stage(settings: dict, round_no: int):
         fetcher = resolve_fetcher(settings["fetcher"])
         timeout_ms = settings["timeout"] * 1000
         out_cols = [f.name for f in FETCH_OUT_FIELDS]
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
 
         def base_out(row) -> dict:
             d = {c: row.get(c) for c in (f.name for f in FRONTIER_FIELDS)}
@@ -241,6 +254,7 @@ def _make_fetch_stage(settings: dict, round_no: int):
                     "scheme": row.get("scheme"),
                     "path_query": row.get("path_query"),
                     "host_seq": row.get("host_seq"),
+                    "partition_id": pid,
                     "outcome": "done",
                     "status": 0,
                     "error_msg": "",
@@ -483,6 +497,132 @@ def _make_fetch_stage(settings: dict, round_no: int):
 
 
 # ---------------------------------------------------------------------------
+# robots.txt gating (north rule addition; RFC 9309 — see functions/robots.py)
+# ---------------------------------------------------------------------------
+
+
+def fetch_robots(hosts: DataFrame, fetcher_spec: str, settings: dict) -> DataFrame:
+    """Fetch + parse robots.txt for each (host, hostname, scheme) row.
+
+    One mapInPandas pass over the distinct new hosts of a round; the
+    result is a small (host, rules_json, crawl_delay_ms, status) table
+    that is broadcast-joined onto the frontier. Non-2xx or unparseable
+    responses degrade to allow-all (rules_json='[]').
+    """
+
+    def stage(batches):
+        import pandas as pd
+
+        from ..functions.httpproto import (
+            DEFAULT_AGENT,
+            decode_chunked,
+            dispatch_headers,
+            find_head_end,
+            gunzip_tolerant,
+            parse_head,
+            ResponseState,
+        )
+        from ..functions.robots import parse_robots
+
+        fetcher = resolve_fetcher(settings["fetcher"])
+        agent = settings["customagent"] or DEFAULT_AGENT
+
+        def one(host, hostname, scheme):
+            url = "%s://%s/robots.txt" % (scheme, host)
+            try:
+                raw, _delay = fetcher(
+                    "GET", url, {"Host": host, "User-Agent": agent}, None
+                )
+            except Exception:
+                return "[]", None, -1
+            head_end = find_head_end(bytes(raw))
+            if head_end is None:
+                return "[]", None, -1
+            parsed = parse_head(bytes(raw[:head_end]))
+            if parsed is None:
+                return "[]", None, -1
+            status, header_list = parsed
+            if not (200 <= status < 300):
+                return "[]", None, status
+            state = ResponseState("GET", "")
+            dispatch_headers(state, status, header_list)
+            body = bytes(raw[head_end:])
+            if state.chunked:
+                body, _ = decode_chunked(body)
+            elif state.has_contentlen and state.contentlen >= 0:
+                body = body[: state.contentlen]
+            if state.gzipped:
+                unz = gunzip_tolerant(body)
+                body = unz if unz is not None else b""
+            # agent product token = text before '/' (e.g. minicrawler/5.2.7)
+            token = agent.split("/", 1)[0].lower()
+            rules, delay_s = parse_robots(
+                body.decode("utf-8", errors="ignore"), token
+            )
+            delay_ms = None if delay_s is None else int(delay_s * 1000)
+            return json.dumps(rules), delay_ms, status
+
+        for pdf in batches:
+            out = [
+                one(h, hn, sc)
+                for h, hn, sc in zip(pdf["host"], pdf["hostname"], pdf["scheme"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "rules_json": [r[0] for r in out],
+                    "crawl_delay_ms": pd.array(
+                        [r[1] for r in out], dtype="Int64"
+                    ),
+                    "robots_status": [r[2] for r in out],
+                }
+            )
+
+    return hosts.mapInPandas(stage, ROBOTS_SCHEMA)
+
+
+def _robots_gate(
+    ok: DataFrame, robots: DataFrame, round_no: int
+) -> Tuple[DataFrame, DataFrame]:
+    """Split canonicalized frontier rows on the robots decision.
+
+    Returns (allowed-with-crawl_delay_ms, denied-result-rows). The
+    matcher is a vectorized pandas UDF (regexes cached per distinct
+    rules_json on each executor)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BooleanType())
+    def allowed_udf(rules_json, path_query):
+        import pandas as pd
+
+        from ..functions.robots import robots_allowed_batch
+
+        return pd.Series(robots_allowed_batch(rules_json, path_query))
+
+    joined = ok.join(F.broadcast(robots), "host", "left").withColumn(
+        "robots_ok",
+        F.coalesce(
+            allowed_udf(F.col("rules_json"), F.col("path_query")), F.lit(True)
+        ),
+    )
+    allowed = joined.filter(F.col("robots_ok")).drop(
+        "robots_ok", "rules_json", "robots_status"
+    )
+    denied = (
+        joined.filter(~F.col("robots_ok"))
+        .select(
+            *[f.name for f in FRONTIER_FIELDS],
+            "href", "host", "hostname", "scheme", "path_query",
+            F.lit("robots").alias("outcome"),
+            F.lit(0).alias("status"),
+            F.lit("Disallowed by robots.txt").alias("error_msg"),
+            F.lit(round_no).alias("round"),
+        )
+    )
+    return allowed, denied
+
+
+# ---------------------------------------------------------------------------
 # round + driver loop
 # ---------------------------------------------------------------------------
 
@@ -574,14 +714,20 @@ def crawl_round(
     round_no: int,
     host_counts: Optional[DataFrame],
     num_partitions: int,
+    pre_canonicalized: bool = False,
 ):
     """One crawl round: canonicalize -> gates -> politeness window ->
-    host-salted repartition -> fetch stage. Returns (fetched, errors)."""
-    canon = _canonicalize_df(pending)
+    host-salted repartition -> fetch stage. Returns (fetched, errors).
+
+    With `pre_canonicalized` the caller already ran _canonicalize_df
+    (the dedup/robots path does — avoids a second WHATWG parse pass).
+    """
+    canon = pending if pre_canonicalized else _canonicalize_df(pending)
     ok, errors = _gate_errors(canon, round_no)
 
     # per-host politeness scheduling (SURVEY §2.6): crawl order per
-    # host = (priority, seq) FIFO; slot n waits n*delay ms
+    # host = (priority, seq) FIFO; slot n waits n*delay ms, where the
+    # per-host delay is max(settings.delay, robots Crawl-delay)
     w = Window.partitionBy("host").orderBy("priority", "seq")
     ok = ok.withColumn("slot", F.row_number().over(w) - F.lit(1))
     if host_counts is not None:
@@ -590,16 +736,34 @@ def crawl_round(
         )
     else:
         ok = ok.withColumn("host_count", F.lit(0))
+    if "crawl_delay_ms" in ok.columns:
+        delay_col = F.greatest(
+            F.lit(settings.delay).cast("long"),
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
+        )
+    else:
+        delay_col = F.lit(settings.delay).cast("long")
     ok = ok.withColumn("host_seq", F.col("slot") + F.col("host_count")).withColumn(
-        "wait_ms", F.col("slot").cast("long") * settings.delay
+        "wait_ms", F.col("slot").cast("long") * delay_col
     ).drop("host_count")
 
     if settings.per_host_budget > 0:
         ok = ok.filter(F.col("slot") < settings.per_host_budget)
 
-    # co-locate same-host jobs; politeness is enforced by schedule, and
-    # a shared per-host session pool becomes possible inside a partition
-    ok = ok.repartition(num_partitions, F.xxhash64("host"))
+    # co-locate same-host jobs; politeness is enforced by the schedule
+    # computed above (wait_ms is global, not per-partition), so a hot
+    # host CAN be split across partitions without breaking the delay
+    # contract: salt = slot // hot_host_split fans a host with more
+    # than `hot_host_split` scheduled slots out to multiple partitions
+    # (SURVEY §4 skew note). Small hosts keep salt 0 — one partition.
+    if settings.hot_host_split > 0:
+        ok = ok.repartition(
+            num_partitions,
+            F.xxhash64("host"),
+            (F.col("slot") / F.lit(settings.hot_host_split)).cast("long"),
+        )
+    else:
+        ok = ok.repartition(num_partitions, F.xxhash64("host"))
 
     sdict = settings.as_dict()
     sdict["fetcher"] = fetcher_spec
@@ -614,11 +778,19 @@ def crawl(
     fetcher_spec: str = "minicrawler_spark.sources.fixtures:fixture_fetcher",
     num_partitions: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
+    report: Optional[dict] = None,
 ) -> DataFrame:
     """mcrawler_go (crawler.c:2047-2094) as a driver loop. `seeds` is a
     list of URL strings/dicts or a frontier DataFrame. Returns the
     results DataFrame (one row per finished job, plus per-hop rows are
-    folded into redirect chains exactly like the reference)."""
+    folded into redirect chains exactly like the reference).
+
+    Pass `report={}` to receive per-round / per-partition lineage
+    metrics (north rule): report["rounds"] = list of round dicts with
+    scheduled / dedup_dropped / robots_denied counts and per-
+    (partition_id, outcome) row counts; written to
+    `{checkpoint_dir}/metrics/round=N` as parquet when checkpointing.
+    """
     settings = settings or CrawlSettings()
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -627,24 +799,88 @@ def crawl(
     else:
         frontier = seeds_to_frontier(spark, seeds, settings)
 
+    sdict = settings.as_dict()
+    sdict["fetcher"] = fetcher_spec
+
     results: list = []
-    host_counts: Optional[DataFrame] = None
+    host_stats: Optional[DataFrame] = None  # (host, host_count, host_err)
     seen: Optional[DataFrame] = None
+    seen_filter = None
+    robots_df: Optional[DataFrame] = None
     round_no = 0
+    want_metrics = report is not None or checkpoint_dir is not None
+    if report is not None:
+        report.setdefault("rounds", [])
+
+    if settings.use_sharded_seen:
+        if checkpoint_dir is None:
+            raise ValueError("use_sharded_seen requires checkpoint_dir")
+        from ..plans.seen import SeenFilter
+
+        seen_filter = SeenFilter(spark, checkpoint_dir + "/seen")
 
     while round_no < settings.max_rounds:
-        if settings.dedup:
-            frontier = _canonicalize_df(frontier)
-            hashed = frontier.withColumn("url_hash", F.xxhash64("href"))
-            if seen is not None:
-                hashed = hashed.join(seen, "url_hash", "left_anti")
-            new_seen = hashed.select("url_hash").distinct()
-            seen = new_seen if seen is None else seen.union(new_seen).distinct()
-            seen = seen.localCheckpoint(eager=True)
-            frontier = hashed.drop("url_hash", *[f.name for f in CANON_SCHEMA.fields])
+        canon = _canonicalize_df(frontier).localCheckpoint(eager=True)
+        round_metrics = {"round": round_no} if want_metrics else None
 
+        if settings.dedup:
+            # only valid rows enter the seen set; parse-failure rows
+            # (href null) pass through to the error gate untouched
+            valid = canon.filter(F.col("errkind") == "")
+            bad = canon.filter(F.col("errkind") != "")
+            hashed = valid.withColumn("url_hash", F.xxhash64("href"))
+            if want_metrics:
+                round_metrics["candidates"] = hashed.count()
+            if seen_filter is not None:
+                novel = seen_filter.novel(hashed).localCheckpoint(eager=True)
+                seen_filter.add(novel.select("url_hash"))
+            else:
+                if seen is not None:
+                    hashed = hashed.join(seen, "url_hash", "left_anti")
+                novel = hashed
+                new_seen = novel.select("url_hash").distinct()
+                seen = (
+                    new_seen if seen is None else seen.union(new_seen).distinct()
+                )
+                seen = seen.localCheckpoint(eager=True)
+            if want_metrics:
+                n_novel = novel.count()
+                round_metrics["scheduled"] = n_novel
+                round_metrics["dedup_dropped"] = (
+                    round_metrics["candidates"] - n_novel
+                )
+            canon = novel.drop("url_hash").unionByName(bad)
+
+        if settings.respect_robots:
+            valid = canon.filter(F.col("errkind") == "")
+            bad = canon.filter(F.col("errkind") != "")
+            hosts = valid.select("host", "hostname", "scheme").dropDuplicates(
+                ["host"]
+            )
+            if robots_df is not None:
+                hosts = hosts.join(
+                    robots_df.select("host"), "host", "left_anti"
+                )
+            new_robots = fetch_robots(hosts, fetcher_spec, sdict)
+            robots_df = (
+                new_robots
+                if robots_df is None
+                else robots_df.unionByName(new_robots)
+            ).localCheckpoint(eager=True)
+            valid, denied = _robots_gate(valid, robots_df, round_no)
+            results.append(denied)
+            if want_metrics:
+                round_metrics["robots_denied"] = denied.count()
+            canon = valid.unionByName(bad, allowMissingColumns=True)
+
+        host_counts = (
+            host_stats.select("host", "host_count")
+            if host_stats is not None
+            else None
+        )
         fetched, errors = crawl_round(
-            frontier, settings, fetcher_spec, round_no, host_counts, num_partitions
+            canon, settings, fetcher_spec, round_no, host_counts,
+            num_partitions, pre_canonicalized=True,
         )
         fetched = fetched.localCheckpoint(eager=True)
 
@@ -656,26 +892,63 @@ def crawl(
                           "outcome", "status", "error_msg", "round")
         )
 
-        # cumulative per-host counters for cross-round crawl order
+        if want_metrics:
+            # per-partition lineage: which partition produced how many
+            # rows of each outcome this round
+            part_rows = (
+                fetched.groupBy("partition_id", "outcome")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("elapsed_ms").alias("elapsed_ms_sum"),
+                )
+                .collect()
+            )
+            round_metrics["partitions"] = [r.asDict() for r in part_rows]
+            round_metrics.setdefault(
+                "scheduled", sum(r["n"] for r in part_rows)
+            )
+            if report is not None:
+                report["rounds"].append(round_metrics)
+            if checkpoint_dir is not None:
+                spark.createDataFrame(
+                    [
+                        (round_no, r["partition_id"], r["outcome"], r["n"],
+                         r["elapsed_ms_sum"])
+                        for r in part_rows
+                    ],
+                    "round int, partition_id int, outcome string, n long, "
+                    "elapsed_ms_sum long",
+                ).write.mode("overwrite").parquet(
+                    "%s/metrics/round=%d" % (checkpoint_dir, round_no)
+                )
+
+        # cumulative per-host counters: cross-round crawl order + error
+        # rates feeding the merge-back priority recomputation
         round_counts = fetched.groupBy("host").agg(
-            F.count("*").alias("host_count_new")
+            F.count("*").alias("host_count_new"),
+            F.count_if(F.col("outcome") == "error").alias("host_err_new"),
         )
-        if host_counts is None:
-            host_counts = round_counts.withColumnRenamed(
-                "host_count_new", "host_count"
+        if host_stats is None:
+            host_stats = round_counts.select(
+                "host",
+                F.col("host_count_new").alias("host_count"),
+                F.col("host_err_new").alias("host_err"),
             )
         else:
-            host_counts = (
-                host_counts.join(round_counts, "host", "outer")
+            host_stats = (
+                host_stats.join(round_counts, "host", "outer")
                 .fillna(0)
                 .select(
                     "host",
                     (F.col("host_count") + F.col("host_count_new")).alias(
                         "host_count"
                     ),
+                    (F.col("host_err") + F.col("host_err_new")).alias(
+                        "host_err"
+                    ),
                 )
             )
-        host_counts = host_counts.localCheckpoint(eager=True)
+        host_stats = host_stats.localCheckpoint(eager=True)
 
         # merge-back: redirects + auth retries re-enter the frontier
         reenq = fetched.filter(
@@ -684,6 +957,15 @@ def crawl(
 
         nxt = [reenq]
         if settings.extract_links:
+            # priority recomputation (north rule): base = BFS depth,
+            # plus a deterministic penalty for hosts with observed
+            # errors — error-prone hosts sink in the per-host FIFO
+            # (priority, seq) without starving (penalty < 1)
+            err_penalty = F.round(
+                F.coalesce(F.col("host_err"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("host_count"), F.lit(0)), F.lit(1)),
+                6,
+            )
             links = (
                 fetched.filter(
                     (F.col("outcome") == "done")
@@ -696,13 +978,26 @@ def crawl(
                         F.from_json("links_json", ArrayType(StringType()))
                     ).alias("rawurl"),
                 )
+                .withColumn(
+                    "link_host",
+                    F.regexp_extract("rawurl", r"^[a-z+.-]+://([^/]+)", 1),
+                )
+                .join(
+                    F.broadcast(
+                        host_stats.withColumnRenamed("host", "link_host")
+                    ),
+                    "link_host",
+                    "left",
+                )
                 .select(
                     F.col("index"),
                     F.col("rawurl"),
                     F.lit(None).cast(StringType()).alias("base"),
                     (F.col("depth") + 1).alias("depth"),
                     F.xxhash64("rawurl").alias("seq"),
-                    (F.col("depth") + 1).cast("double").alias("priority"),
+                    ((F.col("depth") + 1).cast("double") + err_penalty).alias(
+                        "priority"
+                    ),
                     F.lit(settings.max_redirects).alias("redirect_limit"),
                     F.lit("GET").alias("method"),
                     F.lit(None).cast(BinaryType()).alias("post"),
