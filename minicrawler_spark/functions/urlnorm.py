@@ -1002,10 +1002,18 @@ _CANON_FAST = re.compile(
     r"^(https?)://"
     r"((?:[a-z0-9]+(?:-[a-z0-9]+)*\.)+[a-z]{2,63})"
     r"(?::([1-9][0-9]{0,4}))?"
-    r"(/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*)?"
-    r"(\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]*)?$"
+    r"(/[A-Za-z0-9\-._~!$&'()*+,;=:@/%]*)?"
+    r"(\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?%]*)?$"
 )
-_DOTSEG = re.compile(r"/\.\.?(/|$)|%2[eE]")
+# '%' is safe in the fast charsets: the WHATWG path/query states copy
+# both valid and invalid percent escapes through verbatim ('%' is not
+# in any encode set), so an already-present escape never changes the
+# href. The one semantic case — '%2e' as a (half of a) dot segment —
+# is excluded by _DOTSEG below.
+# A dot segment terminates at '/', '?', or end of string ('#' cannot
+# reach the fast path — the charsets exclude it, and the medium path
+# strips fragments before revalidating).
+_DOTSEG = re.compile(r"/\.\.?(?=[/?]|$)|%2[eE]")
 
 
 def canonicalize(url_str: str, base_str: Optional[str] = None):
@@ -1020,6 +1028,7 @@ def canonicalize(url_str: str, base_str: Optional[str] = None):
                 and max(len(l) for l in hostname.split(".")) <= 63
                 and not (scheme == "http" and port == "80")
                 and not (scheme == "https" and port == "443")
+                and (port is None or int(port) <= 65535)
                 and (path is not None or query is None)
             ):
                 hostport = hostname + (":" + port if port else "")
@@ -1058,3 +1067,170 @@ def canonicalize_batch(urls, bases=None):
     return pd.DataFrame(
         {"href": hrefs, "host": hosts, "scheme": schemes, "failure": fails}
     )
+
+
+# ---------------------------------------------------------------------------
+# vectorized full canonicalization (the frontier scheduling hot path)
+# ---------------------------------------------------------------------------
+
+_LONG_LABEL = re.compile(r"[a-z0-9-]{64}")  # any 64-run => some label > 63
+_DOTSEG_NC = _DOTSEG  # lookahead form has no capture group; kept as alias
+
+
+def canonicalize_full(u, base_str=None, _base_cache=None):
+    """One row of the scheduling schema:
+    (href, host, hostname, scheme, path_query, errkind).
+
+    errkind classification mirrors crawler.c's set_new_url gates
+    (SURVEY §2.3): ''|length|parse|scheme|proto:<s>|host.
+    """
+    if u is None or len(u) > 8191:
+        return (None, None, None, None, None, "length")  # api.c:15-32
+    parsed_base = None
+    if base_str:
+        if _base_cache is not None and base_str in _base_cache:
+            parsed_base = _base_cache[base_str]
+        else:
+            parsed_base = parse_url(base_str)
+            if _base_cache is not None:
+                _base_cache[base_str] = parsed_base
+    pu = parse_url(u, parsed_base)
+    if pu is None:
+        return (None, None, None, None, None, "parse")
+    if not pu.scheme:
+        return (None, None, None, None, None, "scheme")
+    if pu.scheme not in ("http", "https"):
+        return (None, None, None, None, None, "proto:" + pu.scheme)
+    if pu.host is None or pu.cannot_be_a_base:
+        return (None, None, None, None, None, "host")
+    g = getters(pu)
+    return (
+        serialize_url(pu, exclude_fragment=True),
+        g["host"],
+        g["hostname"],
+        pu.scheme,
+        serialize_path_and_query(pu),
+        "",
+    )
+
+
+# "medium path" shape: scheme://host[:port][/path?query] with an
+# ASCII-domain authority (no userinfo, no IP literal, no escapes in
+# host). Such a URL canonicalizes by: drop fragment, lowercase scheme
+# + host, drop the default port — then it must satisfy the fast-path
+# validation or it falls to the state machine.
+_MEDIUM_RX = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([A-Za-z0-9.\-]+)(?::(\d+))?"
+    r"([/?][^#]*)?(?:#.*)?$",
+    re.DOTALL,  # fragments may contain newlines... those go slow anyway
+)
+
+
+def _fast_eval(sc, orig):
+    """Vectorized already-canonical check over a Series (NaN = not a
+    candidate). Returns (mask, href, hostport, hostname, scheme,
+    path_query); all outputs NaN outside the mask."""
+    import pandas as pd
+
+    ext = sc.str.extract(_CANON_FAST)
+    scheme_g, host_g, port_g, path_g, query_g = (ext[i] for i in range(5))
+    fast = (
+        scheme_g.notna()
+        & ~sc.str.contains(_DOTSEG_NC, regex=True, na=True)
+        & (sc.str.len() <= 8191)
+        & (host_g.str.len() <= 253)
+        & ~host_g.str.contains(_LONG_LABEL, regex=True, na=True)
+        & ~((scheme_g == "http") & (port_g == "80"))
+        & ~((scheme_g == "https") & (port_g == "443"))
+        & ~(pd.to_numeric(port_g, errors="coerce") > 65535)
+        & (path_g.notna() | query_g.isna())
+    )
+    hostport = host_g.where(port_g.isna(), host_g + ":" + port_g)
+    href = orig.where(path_g.notna(), scheme_g + "://" + hostport + "/")
+    path_query = path_g.fillna("/") + query_g.fillna("")
+    return (
+        fast,
+        href.where(fast),
+        hostport.where(fast),
+        host_g.where(fast),
+        scheme_g.where(fast),
+        path_query.where(fast),
+    )
+
+
+def canonicalize_full_batch(urls, bases=None):
+    """Vectorized canonicalize_full over pandas Series (no per-row
+    Python for the ~already-canonical majority):
+
+    1. fast path — already-canonical URLs, decided wholly by pandas'
+       C string loop (_CANON_FAST + checks),
+    2. medium path — fragment strip + scheme/host lowercase + default
+       port drop (all vectorized), revalidated by the same fast check,
+    3. slow path — whatever remains (escaping needed, dot segments,
+       IDNA/IP hosts, userinfo, relative refs with a base) runs the
+       per-row WHATWG state machine.
+
+    Returns a pandas DataFrame with columns
+    href/host/hostname/scheme/path_query/errkind, index-aligned with
+    the input.
+    """
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(urls, dtype="object").reset_index(drop=True)
+    n = len(s)
+    if bases is None:
+        no_base = pd.Series(True, index=s.index)
+        bases = pd.Series([None] * n, dtype="object")
+    else:
+        bases = pd.Series(bases, dtype="object").reset_index(drop=True)
+        no_base = bases.isna()
+
+    candidate = s.notna() & no_base
+    sc = s.where(candidate)
+    fast1, href1, hostport1, hostname1, scheme1, pq1 = _fast_eval(sc, sc)
+
+    med_src = sc.where(~fast1)
+    m = med_src.str.extract(_MEDIUM_RX)
+    mscheme, mhost, mport, mpathq = (m[i] for i in range(4))
+    lscheme = mscheme.str.lower()
+    is_default = ((lscheme == "http") & (mport == "80")) | (
+        (lscheme == "https") & (mport == "443")
+    )
+    rebuilt = (
+        lscheme
+        + "://"
+        + mhost.str.lower()
+        + (":" + mport).where(mport.notna() & ~is_default, "")
+        + mpathq.fillna("")
+    )
+    fast2, href2, hostport2, hostname2, scheme2, pq2 = _fast_eval(
+        rebuilt, rebuilt
+    )
+
+    out = pd.DataFrame(
+        {
+            "href": href1.where(fast1, href2),
+            "host": hostport1.where(fast1, hostport2),
+            "hostname": hostname1.where(fast1, hostname2),
+            "scheme": scheme1.where(fast1, scheme2),
+            "path_query": pq1.where(fast1, pq2),
+            "errkind": pd.Series([""] * n, dtype="object").where(
+                fast1 | fast2
+            ),
+        }
+    )
+
+    slow_idx = np.flatnonzero(~(fast1 | fast2).to_numpy())
+    if len(slow_idx):
+        base_cache: dict = {}
+        u_arr = s.to_numpy(dtype=object)
+        b_arr = bases.to_numpy(dtype=object)
+        cols = out.to_numpy(dtype=object)
+        for i in slow_idx:
+            b = b_arr[i]
+            if b is not None and not isinstance(b, str):  # NaN from parquet
+                b = None
+            cols[i] = canonicalize_full(u_arr[i], b, base_cache)
+        out = pd.DataFrame(cols, columns=out.columns)
+    return out

@@ -632,46 +632,48 @@ def _canonicalize_df(df: DataFrame) -> DataFrame:
 
     mapInPandas, not a struct-returning pandas UDF: Catalyst re-
     evaluates a UDF once per extracted struct field, which multiplied
-    the WHATWG parser cost 6x (measured). One Arrow pass appends the
-    canon columns to the input schema."""
+    the WHATWG parser cost 6x (measured). The already-canonical
+    majority is decided by pandas' C-level regex loop
+    (urlnorm.canonicalize_full_batch); only misses run the per-row
+    WHATWG state machine.
+
+    Arrow-traffic design: Python emits only (href, errkind) — the
+    other four canon columns are pure substrings of the href, so they
+    are derived JVM-side inside whole-stage codegen. Shipping them
+    from Python tripled the stage's Arrow string volume and capped
+    throughput at high core counts (memory-bandwidth bound)."""
     from pyspark.sql.types import StructType
 
-    out_schema = StructType(list(df.schema.fields) + list(CANON_SCHEMA.fields))
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("href", StringType()), StructField("errkind", StringType())]
+    )
     has_base = "base" in df.columns
 
     def stage(batches):
-        from ..functions import urlnorm
+        from ..functions.urlnorm import canonicalize_full_batch
 
         for pdf in batches:
-            n = len(pdf)
-            cols = {k: [None] * n for k in
-                    ("href", "host", "hostname", "scheme", "path_query")}
-            errk = [""] * n
-            bases = pdf["base"] if has_base else [None] * n
-            for i, (u, b) in enumerate(zip(pdf["rawurl"], bases)):
-                if u is None or len(u) > 8191:
-                    errk[i] = "length"  # api.c:15-32
-                    continue
-                parsed_base = urlnorm.parse_url(b) if b else None
-                pu = urlnorm.parse_url(u, parsed_base)
-                if pu is None:
-                    errk[i] = "parse"
-                elif not pu.scheme:
-                    errk[i] = "scheme"
-                elif pu.scheme not in ("http", "https"):
-                    errk[i] = "proto:" + pu.scheme  # crawler.c:1572-1600
-                elif pu.host is None or pu.cannot_be_a_base:
-                    errk[i] = "host"
-                else:
-                    g = urlnorm.getters(pu)
-                    cols["href"][i] = urlnorm.serialize_url(pu, exclude_fragment=True)
-                    cols["host"][i] = g["host"]
-                    cols["hostname"][i] = g["hostname"]
-                    cols["scheme"][i] = pu.scheme
-                    cols["path_query"][i] = urlnorm.serialize_path_and_query(pu)
-            yield pdf.assign(errkind=errk, **cols)
+            bases = pdf["base"] if has_base else None
+            out = canonicalize_full_batch(pdf["rawurl"], bases)
+            yield pdf.assign(
+                href=out["href"].values,
+                errkind=out["errkind"].fillna("").values,
+            )
 
-    return df.mapInPandas(stage, out_schema)
+    # href = scheme://[userinfo@]host[:port]/path[?query] (fragment
+    # already excluded), so each derived column is an exact substring:
+    return (
+        df.mapInPandas(stage, out_schema)
+        .withColumn("scheme", F.substring_index("href", ":", 1))
+        .withColumn(
+            "host", F.regexp_extract("href", r"^[a-z+.-]+://(?:[^/@]*@)?([^/]+)", 1)
+        )
+        .withColumn("hostname", F.regexp_replace("host", r":\d+$", ""))
+        .withColumn(
+            "path_query", F.regexp_extract("href", r"^[a-z+.-]+://[^/]*(/.*)$", 1)
+        )
+    )
 
 
 _ERR_BY_KIND = {
@@ -756,14 +758,12 @@ def crawl_round(
     # contract: salt = slot // hot_host_split fans a host with more
     # than `hot_host_split` scheduled slots out to multiple partitions
     # (SURVEY §4 skew note). Small hosts keep salt 0 — one partition.
+    part_cols = [F.xxhash64("host")]
     if settings.hot_host_split > 0:
-        ok = ok.repartition(
-            num_partitions,
-            F.xxhash64("host"),
-            (F.col("slot") / F.lit(settings.hot_host_split)).cast("long"),
+        part_cols.append(
+            (F.col("slot") / F.lit(settings.hot_host_split)).cast("long")
         )
-    else:
-        ok = ok.repartition(num_partitions, F.xxhash64("host"))
+    ok = ok.repartition(num_partitions, *part_cols)
 
     sdict = settings.as_dict()
     sdict["fetcher"] = fetcher_spec
@@ -792,8 +792,11 @@ def crawl(
     `{checkpoint_dir}/metrics/round=N` as parquet when checkpointing.
     """
     settings = settings or CrawlSettings()
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+    # num_partitions=None -> sized per round from the (checkpointed,
+    # so cheap-to-count) frontier: fetch tasks are per-row Python
+    # compute, so the right partition count follows row count, not
+    # byte size (AQE's coalescing signal) — capped at the core count,
+    # floored so a task gets >= ~32 rows and overhead stays amortized
     if isinstance(seeds, DataFrame):
         frontier = seeds
     else:
@@ -878,9 +881,16 @@ def crawl(
             if host_stats is not None
             else None
         )
+        if num_partitions is None:
+            parallelism = spark.sparkContext.defaultParallelism
+            round_parts = min(
+                parallelism, max(1, frontier.count() // 32 + 1)
+            )
+        else:
+            round_parts = num_partitions
         fetched, errors = crawl_round(
             canon, settings, fetcher_spec, round_no, host_counts,
-            num_partitions, pre_canonicalized=True,
+            round_parts, pre_canonicalized=True,
         )
         fetched = fetched.localCheckpoint(eager=True)
 

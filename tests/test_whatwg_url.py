@@ -119,3 +119,74 @@ def test_canonicalize_fast_path_agrees_with_parser():
             assert href == serialize_url(u, exclude_fragment=True)
             assert host == g["host"]
             assert scheme == u.scheme
+
+
+def test_canonicalize_full_batch_matches_state_machine():
+    """The vectorized fast + medium paths must agree row-for-row with
+    the per-row WHATWG state machine (canonicalize_full) on corpus
+    inputs, the bench frontier mix, and adversarial shapes."""
+    import math
+
+    from minicrawler_spark.functions.urlnorm import (
+        canonicalize_full,
+        canonicalize_full_batch,
+    )
+
+    cases = []
+    for c in CASES:
+        cases.append((c["input"], c.get("base")))
+    for k in range(4000):
+        h, v = k % 97, k % 8
+        if v < 5:
+            cases.append((f"http://host{h}.example.com/page/{k%50}?q={v}", None))
+        elif v == 5:
+            cases.append((f"HTTP://HOST{h}.Example.COM:80/page/{k%50}", None))
+        elif v == 6:
+            cases.append((f"http://host{h}.example.com/a/../page/{k%50}", None))
+        else:
+            cases.append((f"http://host{h}.example.com/p%61ge/{k%50}#frag", None))
+    cases += [(u, None) for u in [
+        "http://a.com", "HTTPS://A.com:443/y", "HTTP://a.com:080/x",
+        "HTTP://a.com:65536/x", "http://a.com:65535/x", "hTtP://a.com#f",
+        "http://user:pw@A.com/x", "http://a.com/p%2e/x", "http://a.com/x%",
+        "http://" + "a" * 64 + ".com/x", "http://a.com/" + "p" * 9000,
+        "http://café.com/x", "  http://a.com/x ", "ht\ttp://a.com/x",
+        "http://a.com/x#f\nrag", "", None, "ftp://a.com/x", "x" * 9000,
+    ]]
+    cases += [(r, "http://base.test/dir/file?q0")
+              for r in ["page/2", "../x", "/abs", "//other.com/p", "?q=2"]]
+
+    out = canonicalize_full_batch(
+        [c[0] for c in cases], [c[1] for c in cases]
+    )
+    for i, (u, b) in enumerate(cases):
+        exp = canonicalize_full(u, b)
+        got = tuple(
+            None if (x is None or (isinstance(x, float) and math.isnan(x)))
+            else x
+            for x in out.iloc[i]
+        )
+        assert got == exp, f"{u!r} (base={b!r}): {got} != {exp}"
+
+
+def test_dot_segment_before_query_collapses():
+    """Regression: '/a/..?q=1' must collapse the dot segment even
+    though it is terminated by '?' not '/' (found by differential
+    fuzz against the compiled reference parser)."""
+    from minicrawler_spark.functions.urlnorm import (
+        canonicalize,
+        canonicalize_full_batch,
+    )
+
+    cases = {
+        "http://a.com/b/..?q=1": "http://a.com/?q=1",
+        "http://a.com/b/.?q=1": "http://a.com/b/?q=1",
+        "https://a.com/x/y/..": "https://a.com/x/",
+        "HTTP://A.com/b/..?q#f": "http://a.com/?q",
+        "http://a.com/b..?q=1": "http://a.com/b..?q=1",   # not a dot seg
+        "http://a.com/..b?q=1": "http://a.com/..b?q=1",   # not a dot seg
+    }
+    out = canonicalize_full_batch(list(cases))
+    for i, (u, exp) in enumerate(cases.items()):
+        assert canonicalize(u)[0] == exp, u
+        assert out.iloc[i]["href"] == exp, u
