@@ -132,6 +132,16 @@ def fixture_response(
         return _resp(200, [("Content-Type", "text/plain")],
                      ("method=%s host=%s" % (method, host)).encode()), delay
 
+    if path == "/headers":
+        # echo of received request headers (original casing), sorted,
+        # one per line (the httpbin /headers analogue)
+        orig = request_headers or {}
+        lines = "".join(
+            "%s: %s\n" % (k, orig[k]) for k in sorted(orig, key=str.lower)
+        )
+        return _resp(200, [("Content-Type", "text/plain")],
+                     lines.encode()), delay
+
     if path == "/post":
         b = body or b""
         return _resp(200, [("Content-Type", "text/plain")],

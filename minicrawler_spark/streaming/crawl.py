@@ -107,9 +107,22 @@ FETCH_OUT_FIELDS = FRONTIER_FIELDS + [
     StructField("truncated", BooleanType()),
     StructField("links_json", StringType()),
     StructField("spans_json", StringType()),
+    StructField("timing_json", StringType()),   # mcrawler_timing analogue
+    StructField("downstart", LongType()),        # politeness wait (ms)
     StructField("round", IntegerType()),
 ]
 FETCH_OUT_SCHEMA = StructType(FETCH_OUT_FIELDS)
+
+TIMING_TYPE = StructType(
+    [
+        StructField(f, LongType())
+        for f in (
+            "dnsstart", "dnsend", "connectionstart", "handshakestart",
+            "sslstart", "sslend", "requeststart", "requestend",
+            "firstbyte", "lastread", "done",
+        )
+    ]
+)
 
 SPAN_TYPE = ArrayType(
     StructType(
@@ -269,6 +282,8 @@ def _make_fetch_stage(settings: dict, round_no: int):
                     "truncated": False,
                     "links_json": "[]",
                     "spans_json": None,
+                    "timing_json": None,
+                    "downstart": int(row.get("wait_ms") or 0),
                     "round": round_no,
                 }
             )
@@ -280,6 +295,31 @@ def _make_fetch_stage(settings: dict, round_no: int):
             o["error_msg"] = msg
             return o
 
+        def set_timing(o, elapsed, started, got_reply, https):
+            """Synthetic mcrawler_timing on the virtual clock
+            (minicrawler.h:48-61): offsets are deterministic functions
+            of the politeness wait + fixture service delay — a real
+            network fetcher would substitute measured values. Zero
+            means 'state never reached', like the reference."""
+            ds = int(o["downstart"])
+            t = dict.fromkeys(
+                ("dnsstart", "dnsend", "connectionstart", "handshakestart",
+                 "sslstart", "sslend", "requeststart", "requestend",
+                 "firstbyte", "lastread", "done"), 0)
+            if started:
+                t["dnsstart"] = ds or 1
+                t["dnsend"] = t["connectionstart"] = t["dnsstart"] + 1
+                nxt = t["connectionstart"] + 1
+                if https:
+                    t["handshakestart"] = t["sslstart"] = nxt
+                    t["sslend"] = nxt = nxt + 1
+                t["requeststart"] = t["requestend"] = nxt
+                if got_reply:
+                    t["firstbyte"] = max(elapsed, nxt + 1)
+                    t["lastread"] = t["firstbyte"]
+            t["done"] = max(max(t.values()), elapsed, 1)
+            o["timing_json"] = json.dumps(t)
+
         def process(row) -> dict:
             o = base_out(row)
             elapsed = int(row["elapsed_ms"]) + int(row["wait_ms"])
@@ -289,6 +329,7 @@ def _make_fetch_stage(settings: dict, round_no: int):
                 o["timeout_state"] = S_GOTIP
                 o["timeout_reason"] = TIMEOUT_REASONS[S_GOTIP]
                 o["elapsed_ms"] = elapsed
+                set_timing(o, elapsed, False, False, False)
                 return o
 
             jar = json.loads(row["cookies_json"] or "[]")
@@ -310,6 +351,7 @@ def _make_fetch_stage(settings: dict, round_no: int):
                 o["elapsed_ms"] = elapsed
                 o["cookies_json"] = json.dumps(jar)
                 o["redirect_json"] = json.dumps(chain)
+                set_timing(o, elapsed, True, True, scheme == "https")
                 return o
 
             # the per-job state machine: hops (redirects + one auth
@@ -321,15 +363,34 @@ def _make_fetch_stage(settings: dict, round_no: int):
             while True:
                 now = CRAWL_EPOCH + elapsed // 1000
                 jar = remove_expired(jar, now)  # crawler.c:746
-                headers = {
-                    "Host": host,
-                    "User-Agent": settings["customagent"] or DEFAULT_AGENT,
-                }
+                # header set per genrequest (crawler.c:756-872):
+                # Accept */* unless the custom header block provides
+                # one; custom lines verbatim; Accept-Encoding only
+                # with -g; POST gets Content-Length + default type
+                headers = {"Host": host}
+                custom = settings["customheader"] or ""
+                p = custom.find("Accept:")
+                if not (p != -1 and (p == 0 or custom[p - 1] == "\n")):
+                    headers["Accept"] = "*/*"
+                if authorization:
+                    headers["Authorization"] = authorization
+                headers["User-Agent"] = settings["customagent"] or DEFAULT_AGENT
                 ch = cookie_header(jar, hostname, path_query, scheme)
                 if ch:
                     headers["Cookie"] = ch
-                if authorization:
-                    headers["Authorization"] = authorization
+                for line in custom.splitlines():
+                    name, sep, value = line.partition(":")
+                    if sep and name.strip():
+                        headers[name.strip()] = value.strip()
+                if settings["gzip"]:
+                    headers["Accept-Encoding"] = "gzip"
+                if post is not None:
+                    headers["Content-Length"] = str(len(post))
+                    p = custom.find("Content-Type:")
+                    if not (p != -1 and (p == 0 or custom[p - 1] == "\n")):
+                        headers["Content-Type"] = (
+                            "application/x-www-form-urlencoded"
+                        )
 
                 raw, delay_ms = fetcher(method, href, headers, post)
                 elapsed += int(delay_ms)
@@ -340,6 +401,7 @@ def _make_fetch_stage(settings: dict, round_no: int):
                     o["elapsed_ms"] = elapsed
                     o["cookies_json"] = json.dumps(jar)
                     o["redirect_json"] = json.dumps(chain)
+                    set_timing(o, elapsed, True, False, scheme == "https")
                     return o
 
                 head_end = find_head_end(bytes(raw))
@@ -485,6 +547,7 @@ def _make_fetch_stage(settings: dict, round_no: int):
             o["url"] = href
             o["body"] = body
             o["content_length"] = len(body)
+            set_timing(o, elapsed, True, True, scheme == "https")
             return o
 
         for pdf in batches:
@@ -494,6 +557,64 @@ def _make_fetch_stage(settings: dict, round_no: int):
             yield pd.DataFrame(recs, columns=out_cols)
 
     return fetch_stage
+
+
+def _impatient_cutoff(fetched: DataFrame, settings: CrawlSettings) -> DataFrame:
+    """Impatient early-exit (exitprematurely, crawler.c:1984-2011) on
+    the virtual clock.
+
+    The reference aborts the event loop when >=5 jobs leave exactly 1
+    unfinished (or >=20 leave <=2) and nothing was read for 400 ms;
+    the stragglers flush as timeout rows. Deterministic emulation: let
+    T2 = second-largest distinct completion time of the round. The
+    rows finishing after T2 are the stragglers; if the gap exceeds
+    400 ms and the counts match the reference's thresholds, they are
+    reclassified as timeouts (state RECVREPLY, like a job cut mid-
+    download). Three cheap aggregations on the checkpointed round —
+    no global sort."""
+    n = fetched.count()
+    if n < 5:
+        return fetched
+    top2 = [
+        r[0]
+        for r in fetched.select("elapsed_ms")
+        .distinct()
+        .orderBy(F.desc("elapsed_ms"))
+        .limit(2)
+        .collect()
+    ]
+    if len(top2) < 2:
+        return fetched
+    t_last, t_prev = top2
+    if t_last - t_prev <= 400:
+        return fetched
+    c = fetched.filter(F.col("elapsed_ms") > t_prev).count()
+    if not (c == 1 or (n >= 20 and c <= 2)):
+        return fetched
+    strag = (F.col("elapsed_ms") > F.lit(t_prev)) & (
+        F.col("outcome") == "done"
+    )
+    return (
+        fetched.withColumn(
+            "timeout_state",
+            F.when(strag, F.lit(S_RECVREPLY)).otherwise(F.col("timeout_state")),
+        )
+        .withColumn(
+            "timeout_reason",
+            F.when(strag, F.lit(TIMEOUT_REASONS[S_RECVREPLY])).otherwise(
+                F.col("timeout_reason")
+            ),
+        )
+        .withColumn("status", F.when(strag, F.lit(0)).otherwise(F.col("status")))
+        .withColumn("body", F.when(strag, F.lit(None)).otherwise(F.col("body")))
+        .withColumn(
+            "content_length",
+            F.when(strag, F.lit(0)).otherwise(F.col("content_length")),
+        )
+        .withColumn(
+            "outcome", F.when(strag, F.lit("timeout")).otherwise(F.col("outcome"))
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -884,7 +1005,7 @@ def crawl(
         if num_partitions is None:
             parallelism = spark.sparkContext.defaultParallelism
             round_parts = min(
-                parallelism, max(1, frontier.count() // 32 + 1)
+                parallelism, max(1, frontier.count() // 100 + 1)
             )
         else:
             round_parts = num_partitions
@@ -893,6 +1014,10 @@ def crawl(
             round_parts, pre_canonicalized=True,
         )
         fetched = fetched.localCheckpoint(eager=True)
+        if settings.impatient:
+            fetched = _impatient_cutoff(fetched, settings).localCheckpoint(
+                eager=True
+            )
 
         done = fetched.filter(~F.col("outcome").isin("redirect", "auth_retry"))
         results.append(done)
@@ -1042,7 +1167,7 @@ def crawl(
 def finalize_results(df: DataFrame) -> DataFrame:
     """Typed result table (the `output` sink, cli.c:200-319): JSON
     carriers become proper nested columns."""
-    return (
+    out = (
         df.withColumn("cookies", F.from_json("cookies_json", COOKIE_TYPE))
         .withColumn("redirect_info", F.from_json("redirect_json", REDIRECT_TYPE))
         .withColumn("spans", F.from_json("spans_json", SPAN_TYPE))
@@ -1050,6 +1175,11 @@ def finalize_results(df: DataFrame) -> DataFrame:
         .withColumn("doc_id", F.coalesce("url", "rawurl"))
         .drop("cookies_json", "redirect_json", "spans_json", "links_json")
     )
+    if "timing_json" in df.columns:
+        out = out.withColumn(
+            "timing", F.from_json("timing_json", TIMING_TYPE)
+        ).drop("timing_json")
+    return out
 
 
 def resume_frontier(spark: SparkSession, checkpoint_dir: str, round_no: int) -> DataFrame:

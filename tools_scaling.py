@@ -75,9 +75,19 @@ print("PUREPY " + json.dumps(out))
 """
 
 
-def run_sub(code: str, args: list, tag: str) -> dict:
+def run_sub(code: str, args: list, tag: str, ncores: int = 0) -> dict:
+    """Run a worker subprocess, optionally pinned to `ncores` CPUs.
+
+    Pinning (taskset) makes a level an honest hardware slice: local[N]
+    only bounds concurrent tasks — JVM service threads (GC, Arrow
+    writers, netty) would otherwise spill onto extra cores and inflate
+    the low-parallelism level, understating scaling efficiency.
+    """
+    cmd = [sys.executable, "-c", code] + [str(a) for a in args]
+    if ncores:
+        cmd = ["taskset", "-c", "0-%d" % (ncores - 1)] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code] + [str(a) for a in args],
+        cmd,
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -95,7 +105,7 @@ def main():
 
     levels = {}
     for cpus in (2, 8, 32):
-        levels[cpus] = run_sub(WORKER, [cpus, n, reps], "SCALEOUT")
+        levels[cpus] = run_sub(WORKER, [cpus, n, reps], "SCALEOUT", ncores=cpus)
         print("level %d done: %.0f urls/s, %.1f pages/s" % (
             cpus, levels[cpus]["frontier"]["urls_per_sec"],
             levels[cpus]["crawl"]["pages_per_sec"]))
