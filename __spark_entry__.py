@@ -285,9 +285,40 @@ def q_robots_gate(spark, sf):
     )
 
 
+def q_crawl_delay_schedule(spark, sf):
+    """Politeness schedule with per-host Crawl-delay override
+    (crawl_round: wait = slot * max(delay, crawl_delay)): user_id
+    stands in for host, crawl_delay = (user_id % 3) seconds."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delay_ms = F.greatest(F.lit(100), (F.col("user_id") % 3) * 1000)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w) - 1).alias("slot"),
+    ).withColumn(
+        "wait_ms", F.col("slot").cast("long") * delay_ms
+    )
+
+
+def q_hot_host_salt(spark, sf):
+    """Hot-host skew split (crawl_round: salt = slot // k): the
+    partition-salt assignment per scheduled slot, k=8."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w) - 1).alias("slot"),
+    ).withColumn("salt", (F.col("slot") / 8).cast("long"))
+
+
 def q_url_canonicalize(spark, sf):
-    """WHATWG canonicalization over synthesized messy URLs (rows-only;
-    the 311-case corpus in tests/ is the hard gate)."""
+    """WHATWG canonicalization over synthesized messy URLs. The
+    oracle is the closed form of the construction (uppercase scheme/
+    host lowers, :80 drops, '/<src>/.././p<id>' collapses to
+    '/p<id>'); the 311-case corpus + C-oracle fuzz in tests/ are the
+    hard gates."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -348,6 +379,8 @@ QUERIES = {
     "q_frontier_merge": q_frontier_merge,
     "q_cookie_send_match": q_cookie_send_match,
     "q_robots_gate": q_robots_gate,
+    "q_crawl_delay_schedule": q_crawl_delay_schedule,
+    "q_hot_host_salt": q_hot_host_salt,
     "q_url_canonicalize": q_url_canonicalize,
 }
 
@@ -624,12 +657,69 @@ ORACLES = {
         "(%s, '%s')" % ("true" if a else "false", pat)
         for a, pat in _ROBOTS_RULES
     ),
+    "q_crawl_delay_schedule": """
+      select event_id, user_id, slot,
+             slot * greatest(100, (user_id % 3) * 1000) as wait_ms
+      from (
+        select event_id, user_id,
+               row_number() over (partition by user_id
+                                  order by ts, event_id) - 1 as slot
+        from events
+      )
+    """,
+    "q_hot_host_salt": """
+      select event_id, user_id, slot, slot // 8 as salt
+      from (
+        select event_id, user_id,
+               row_number() over (partition by user_id
+                                  order by ts, event_id) - 1 as slot
+        from events
+      )
+    """,
+    "q_url_canonicalize": """
+      select doc_id,
+             'http://host' || (doc_id % 7)::VARCHAR || '.example.com/p'
+               || doc_id::VARCHAR || '?q=1' as href,
+             'host' || (doc_id % 7)::VARCHAR || '.example.com' as host
+      from documents
+    """,
+    "q_minhash_dup_pairs": """
+      with sigs as (%s),
+      bands as (
+        %s
+      ),
+      cand as (
+        select distinct l.doc_id as doc_a, r.doc_id as doc_b
+        from bands l join bands r
+          on l.band = r.band and l.bucket = r.bucket
+         and l.doc_id < r.doc_id
+      ),
+      toks as (
+        select doc_id, list_distinct(%s) as t from documents
+      ),
+      scored as (
+        select doc_a, doc_b,
+               round(len(list_intersect(a.t, b.t))::DOUBLE /
+                     len(list_distinct(a.t || b.t)), 6) as jaccard
+        from cand join toks a on a.doc_id = cand.doc_a
+                  join toks b on b.doc_id = cand.doc_b
+      )
+      select doc_a, doc_b, jaccard from scored where jaccard >= 0.5
+    """ % (
+        _minhash_sql(),
+        "\n        union all\n        ".join(
+            "select doc_id, %d as band, mh%d || '_' || mh%d as bucket from sigs"
+            % (b, 2 * b, 2 * b + 1)
+            for b in range(8)
+        ),
+        _tokens_sql(),
+    ),
 }
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents. q_minhash_dup_pairs and q_url_canonicalize
-    are intentionally absent (LSH banding / WHATWG parsing are not
-    SQL-expressible) -> driver records rows-only checks; the pytest
-    suites are their hard gates."""
+    """DuckDB equivalents for every query — including LSH banding
+    (unioned per-band bucket keys) and the canonicalization query
+    (closed form of its synthetic construction; the WHATWG corpus +
+    compiled-reference fuzz in tests/ remain the hard gates)."""
     return dict(ORACLES)
