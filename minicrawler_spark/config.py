@@ -35,6 +35,11 @@ class CrawlSettings:
                                      # politeness stays correct because the
                                      # wait schedule is computed globally
                                      # before the repartition
+    real_time: bool = False          # sleep politeness waits on the wall
+                                     # clock (real-network fetchers);
+                                     # False = virtual clock (fixtures,
+                                     # deterministic tests)
+    insecure: bool = False           # -k: skip TLS verification
     use_sharded_seen: bool = False   # URL-seen via plans/seen.SeenFilter
                                      # (bloom-pruned parquet shards) instead
                                      # of the in-memory distinct-union;

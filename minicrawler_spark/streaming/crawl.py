@@ -175,9 +175,14 @@ ROBOTS_SCHEMA = StructType(
 )
 
 
-def resolve_fetcher(spec: str) -> Callable:
-    mod, _, fn = spec.partition(":")
-    return getattr(importlib.import_module(mod), fn)
+def resolve_fetcher(spec: str, settings: Optional[dict] = None) -> Callable:
+    mod_name, _, fn = spec.partition(":")
+    mod = importlib.import_module(mod_name)
+    if settings is not None and hasattr(mod, "configure"):
+        mod.configure(
+            timeout_s=settings["timeout"], insecure=settings["insecure"]
+        )
+    return getattr(mod, fn)
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +256,7 @@ def _make_fetch_stage(settings: dict, round_no: int):
             ResponseState,
         )
 
-        fetcher = resolve_fetcher(settings["fetcher"])
+        fetcher = resolve_fetcher(settings["fetcher"], settings)
         timeout_ms = settings["timeout"] * 1000
         out_cols = [f.name for f in FETCH_OUT_FIELDS]
         tc = TaskContext.get()
@@ -320,8 +325,23 @@ def _make_fetch_stage(settings: dict, round_no: int):
             t["done"] = max(max(t.values()), elapsed, 1)
             o["timing_json"] = json.dumps(t)
 
+        if settings.get("real_time"):
+            import time as _time
+
+            stage_t0 = _time.monotonic()
+        else:
+            stage_t0 = None
+
         def process(row) -> dict:
             o = base_out(row)
+            if stage_t0 is not None:
+                # wall-clock politeness: hold this job until its
+                # scheduled offset within the round
+                import time as _time
+
+                lag = stage_t0 + int(row["wait_ms"]) / 1000.0 - _time.monotonic()
+                if lag > 0:
+                    _time.sleep(lag)
             elapsed = int(row["elapsed_ms"]) + int(row["wait_ms"])
             # politeness wait blew the budget -> never started
             if elapsed > timeout_ms:
@@ -392,7 +412,23 @@ def _make_fetch_stage(settings: dict, round_no: int):
                             "application/x-www-form-urlencoded"
                         )
 
-                raw, delay_ms = fetcher(method, href, headers, post)
+                # real fetchers raise; map to the reference's negative
+                # status codes (state - MCURL_S_ERROR, README.md:121-131)
+                try:
+                    raw, delay_ms = fetcher(method, href, headers, post)
+                except Exception as e:
+                    import socket as _socket
+                    import ssl as _ssl
+
+                    if isinstance(e, _socket.gaierror):
+                        return err(S_INDNS - S_ERROR, "Could not resolve host")
+                    if isinstance(e, _ssl.SSLError):
+                        return err(
+                            S_HANDSHAKE - S_ERROR, "SSL handshake failed"
+                        )
+                    return err(
+                        S_CONNECT - S_ERROR, "Connection failed: %s" % e
+                    )
                 elapsed += int(delay_ms)
                 if elapsed > timeout_ms:
                     o["outcome"] = "timeout"
@@ -645,7 +681,7 @@ def fetch_robots(hosts: DataFrame, fetcher_spec: str, settings: dict) -> DataFra
         )
         from ..functions.robots import parse_robots
 
-        fetcher = resolve_fetcher(settings["fetcher"])
+        fetcher = resolve_fetcher(settings["fetcher"], settings)
         agent = settings["customagent"] or DEFAULT_AGENT
 
         def one(host, hostname, scheme):
@@ -885,6 +921,10 @@ def crawl_round(
             (F.col("slot") / F.lit(settings.hot_host_split)).cast("long")
         )
     ok = ok.repartition(num_partitions, *part_cols)
+    if settings.real_time:
+        # real-network mode: the stage sleeps each job until its
+        # scheduled offset, so rows must arrive in schedule order
+        ok = ok.sortWithinPartitions("wait_ms")
 
     sdict = settings.as_dict()
     sdict["fetcher"] = fetcher_spec
