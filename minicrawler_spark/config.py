@@ -40,6 +40,8 @@ class CrawlSettings:
                                      # False = virtual clock (fixtures,
                                      # deterministic tests)
     insecure: bool = False           # -k: skip TLS verification
+    writehead: bool = False          # -h: keep the raw reply head
+    ipv6_only: bool = False          # -6: resolve AAAA only
     use_sharded_seen: bool = False   # URL-seen via plans/seen.SeenFilter
                                      # (bloom-pruned parquet shards) instead
                                      # of the in-memory distinct-union;

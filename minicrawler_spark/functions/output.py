@@ -96,7 +96,8 @@ def format_timing(t: Optional[dict], state: int, start: int) -> str:
     return "".join(out)
 
 
-def render_output(row: dict, writebody: bool = True) -> bytes:
+def render_output(row: dict, writebody: bool = True,
+                  writehead: bool = False) -> bytes:
     """One result row (a finalize_results record as a dict) -> the
     reference's stdout record."""
     outcome = row.get("outcome") or "done"
@@ -159,14 +160,23 @@ def render_output(row: dict, writebody: bool = True) -> bytes:
     h.append("\nIndex: %d\n\n" % int(row.get("index") or 0))
 
     out = "".join(h).encode("utf-8", errors="replace")
+    if writehead:
+        head = row.get("head")
+        if head:
+            out += bytes(head)
+        else:
+            out += b"\n"  # cli.c:311-315: keep the parser's blank line
     if writebody:
         out += body + b"\n"
     return out
 
 
-def to_text(results_df, writebody: bool = True) -> bytes:
+def to_text(results_df, writebody: bool = True,
+            writehead: bool = False) -> bytes:
     """Render a whole result DataFrame, ordered by seed index — the
     byte-diff surface vs the reference binary's stdout. Driver-side
     collect; test/debug only."""
     rows = results_df.orderBy("index").collect()
-    return b"".join(render_output(r.asDict(), writebody) for r in rows)
+    return b"".join(
+        render_output(r.asDict(), writebody, writehead) for r in rows
+    )

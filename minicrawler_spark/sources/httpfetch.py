@@ -40,21 +40,26 @@ from urllib.parse import urlsplit
 
 MAX_RESPONSE = 64 * 1024 * 1024  # hard cap; engine truncates at -m
 
-_DEFAULTS = {"timeout_s": 5.0, "insecure": False}
+_DEFAULTS = {"timeout_s": 5.0, "insecure": False, "ipv6_only": False}
 
 
-def configure(timeout_s: float = 5.0, insecure: bool = False) -> None:
-    """Process-global knobs (executors call this via broadcast config
-    or rely on the engine passing settings through headers)."""
+def configure(timeout_s: float = 5.0, insecure: bool = False,
+              ipv6_only: bool = False) -> None:
+    """Process-global knobs, set by the engine per fetch stage
+    (resolve_fetcher passes the crawl settings through)."""
     _DEFAULTS["timeout_s"] = timeout_s
     _DEFAULTS["insecure"] = insecure
+    _DEFAULTS["ipv6_only"] = ipv6_only
 
 
 def _resolve(host: str, port: int):
-    """IPv4 first, then IPv6 (A -> AAAA fallback order)."""
+    """IPv4 first, then IPv6 (A -> AAAA fallback order); -6 restricts
+    to AAAA (crawler.c MCURL_OPT_IPV6)."""
     infos = socket.getaddrinfo(host, port, type=socket.SOCK_STREAM)
     v4 = [i for i in infos if i[0] == socket.AF_INET]
     v6 = [i for i in infos if i[0] == socket.AF_INET6]
+    if _DEFAULTS["ipv6_only"]:
+        return v6
     return v4 + v6
 
 

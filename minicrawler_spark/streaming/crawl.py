@@ -70,6 +70,7 @@ FRONTIER_FIELDS = [
     StructField("auth_attempt", BooleanType()),
     StructField("cookies_json", StringType()),
     StructField("redirect_json", StringType()),  # newest-first chain
+    StructField("customheader", StringType()),   # per-URL -C override
     StructField("elapsed_ms", LongType()),
 ]
 FRONTIER_SCHEMA = StructType(FRONTIER_FIELDS)
@@ -107,6 +108,7 @@ FETCH_OUT_FIELDS = FRONTIER_FIELDS + [
     StructField("truncated", BooleanType()),
     StructField("links_json", StringType()),
     StructField("spans_json", StringType()),
+    StructField("head", BinaryType()),           # raw reply head (-h)
     StructField("timing_json", StringType()),   # mcrawler_timing analogue
     StructField("downstart", LongType()),        # politeness wait (ms)
     StructField("round", IntegerType()),
@@ -180,7 +182,9 @@ def resolve_fetcher(spec: str, settings: Optional[dict] = None) -> Callable:
     mod = importlib.import_module(mod_name)
     if settings is not None and hasattr(mod, "configure"):
         mod.configure(
-            timeout_s=settings["timeout"], insecure=settings["insecure"]
+            timeout_s=settings["timeout"],
+            insecure=settings["insecure"],
+            ipv6_only=settings["ipv6_only"],
         )
     return getattr(mod, fn)
 
@@ -212,6 +216,7 @@ def seeds_to_frontier(spark: SparkSession, seeds, settings: CrawlSettings) -> Da
                 False,
                 json.dumps(s.get("cookies", [])),
                 "[]",
+                s.get("customheader"),
                 0,
             )
         )
@@ -287,6 +292,7 @@ def _make_fetch_stage(settings: dict, round_no: int):
                     "truncated": False,
                     "links_json": "[]",
                     "spans_json": None,
+                    "head": None,
                     "timing_json": None,
                     "downstart": int(row.get("wait_ms") or 0),
                     "round": round_no,
@@ -388,7 +394,7 @@ def _make_fetch_stage(settings: dict, round_no: int):
                 # one; custom lines verbatim; Accept-Encoding only
                 # with -g; POST gets Content-Length + default type
                 headers = {"Host": host}
-                custom = settings["customheader"] or ""
+                custom = row.get("customheader") or settings["customheader"] or ""
                 p = custom.find("Accept:")
                 if not (p != -1 and (p == 0 or custom[p - 1] == "\n")):
                     headers["Accept"] = "*/*"
@@ -447,6 +453,8 @@ def _make_fetch_stage(settings: dict, round_no: int):
                 if parsed is None:
                     return err(S_RECVREPLY - S_ERROR, "Unsupported protocol")
                 status, header_list = parsed
+                if settings["writehead"]:
+                    o["head"] = bytes(raw[:head_end])
                 state = ResponseState(method, settings["username"])
                 dispatch_headers(state, status, header_list)
                 o["status"] = status
@@ -1180,6 +1188,7 @@ def crawl(
                     F.lit(False).alias("auth_attempt"),
                     F.lit("[]").alias("cookies_json"),
                     F.lit("[]").alias("redirect_json"),
+                    F.lit(None).cast(StringType()).alias("customheader"),
                     F.lit(0).cast(LongType()).alias("elapsed_ms"),
                 )
                 .dropDuplicates(["rawurl"])
