@@ -1,0 +1,154 @@
+"""Snapshot catalog — Iceberg-snapshot semantics over parquet.
+
+The north rule checkpoints each crawl round "to Iceberg snapshots so
+any round is resumable with per-partition lineage and metrics". The
+Iceberg runtime jar is not available in this environment, so this
+module provides the same *contract* over plain parquet + JSON
+manifests; on a cluster with Iceberg the calls map 1:1 to
+`writeTo(...).createOrReplace()` / `option("snapshot-id", ...)`.
+
+Layout per table:
+
+    {root}/{table}/data/snap-{id}/part-*.parquet   immutable data files
+    {root}/{table}/meta/snap-{id}.json             manifest: id, parent,
+                                                   summary, schema, files
+    {root}/{table}/CURRENT                         current snapshot id
+                                                   (written via tmp+rename
+                                                   = atomic commit point)
+
+Properties mirrored from Iceberg:
+- snapshot isolation: data is written before the manifest, the
+  manifest before the CURRENT pointer flips; a crashed commit leaves
+  the previous snapshot intact (write-audit-publish ordering),
+- time travel: `read(spark, table, snapshot_id=...)`,
+- history: `history(table)` walks manifests (parent chain + summary —
+  this is the per-round fetch/dedup/politeness metrics record),
+- expiration/compaction: `expire(table, keep_last=k)` removes old
+  snapshots' data (the north star's "compacted frontier snapshots").
+
+Snapshot ids are caller-supplied (the crawl engine uses the round
+number), keeping runs deterministic — no wall-clock ids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- paths ---------------------------------------------------------
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _data(self, table: str, sid: int) -> str:
+        return os.path.join(self._tdir(table), "data", "snap-%d" % sid)
+
+    def _meta(self, table: str, sid: int) -> str:
+        return os.path.join(self._tdir(table), "meta", "snap-%d.json" % sid)
+
+    def _current_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "CURRENT")
+
+    # -- write path ------------------------------------------------------
+
+    def commit(
+        self,
+        table: str,
+        df: DataFrame,
+        snapshot_id: int,
+        summary: Optional[dict] = None,
+    ) -> int:
+        """Write-audit-publish: data files, then the manifest, then the
+        atomic CURRENT flip."""
+        data_dir = self._data(table, snapshot_id)
+        df.write.mode("overwrite").parquet(data_dir)
+
+        files = sorted(
+            f for f in os.listdir(data_dir) if f.endswith(".parquet")
+        )
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent_id": self.current_id(table),
+            "summary": summary or {},
+            "schema": df.schema.jsonValue(),
+            "files": files,
+            "n_files": len(files),
+        }
+        os.makedirs(os.path.dirname(self._meta(table, snapshot_id)),
+                    exist_ok=True)
+        with open(self._meta(table, snapshot_id), "w") as f:
+            json.dump(manifest, f)
+
+        tmp = self._current_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, self._current_path(table))  # the commit point
+        return snapshot_id
+
+    # -- read path -------------------------------------------------------
+
+    def current_id(self, table: str) -> Optional[int]:
+        try:
+            with open(self._current_path(table)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot_id: Optional[int] = None,
+        schema=None,
+    ) -> DataFrame:
+        sid = self.current_id(table) if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise FileNotFoundError("no current snapshot for %r" % table)
+        if not os.path.exists(self._meta(table, sid)):
+            raise FileNotFoundError(
+                "snapshot %d of %r does not exist (expired?)" % (sid, table)
+            )
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self._data(table, sid))
+
+    def manifest(self, table: str, snapshot_id: int) -> dict:
+        with open(self._meta(table, snapshot_id)) as f:
+            return json.load(f)
+
+    def history(self, table: str) -> list:
+        """Manifests newest-first, walking parent ids from CURRENT."""
+        out = []
+        sid = self.current_id(table)
+        while sid is not None and os.path.exists(self._meta(table, sid)):
+            m = self.manifest(table, sid)
+            out.append(m)
+            sid = m.get("parent_id")
+        return out
+
+    # -- maintenance -------------------------------------------------------
+
+    def expire(self, table: str, keep_last: int = 2) -> list:
+        """Drop data (and manifests) of all but the newest `keep_last`
+        snapshots — frontier compaction. Returns expired ids."""
+        hist = self.history(table)
+        expired = []
+        for m in hist[keep_last:]:
+            sid = m["snapshot_id"]
+            shutil.rmtree(self._data(table, sid), ignore_errors=True)
+            try:
+                os.remove(self._meta(table, sid))
+            except FileNotFoundError:
+                pass
+            expired.append(sid)
+        return expired

@@ -984,6 +984,12 @@ def crawl(
     if report is not None:
         report.setdefault("rounds", [])
 
+    catalog = None
+    if checkpoint_dir is not None:
+        from ..plans.snapshots import SnapshotCatalog
+
+        catalog = SnapshotCatalog(checkpoint_dir)
+
     if settings.use_sharded_seen:
         if checkpoint_dir is None:
             raise ValueError("use_sharded_seen requires checkpoint_dir")
@@ -1199,9 +1205,14 @@ def crawl(
         for extra in nxt[1:]:
             frontier = frontier.unionByName(extra)
         frontier = frontier.localCheckpoint(eager=True)
-        if checkpoint_dir is not None:
-            (frontier.write.mode("overwrite")
-             .parquet("%s/frontier/round=%d" % (checkpoint_dir, round_no + 1)))
+        if catalog is not None:
+            # Iceberg-snapshot analogue (serialize.c:146-201): commit
+            # the next round's frontier with this round's metrics as
+            # the snapshot summary; any round is resumable by id
+            catalog.commit(
+                "frontier", frontier, snapshot_id=round_no + 1,
+                summary=round_metrics or {},
+            )
 
         round_no += 1
         if frontier.isEmpty():
@@ -1231,8 +1242,13 @@ def finalize_results(df: DataFrame) -> DataFrame:
     return out
 
 
-def resume_frontier(spark: SparkSession, checkpoint_dir: str, round_no: int) -> DataFrame:
-    """Resume from a round snapshot (the serialize.c:146-201 analogue)."""
-    return spark.read.schema(FRONTIER_SCHEMA).parquet(
-        "%s/frontier/round=%d" % (checkpoint_dir, round_no)
+def resume_frontier(
+    spark: SparkSession, checkpoint_dir: str, round_no: Optional[int] = None
+) -> DataFrame:
+    """Resume from a frontier snapshot (the serialize.c:146-201
+    analogue): `round_no` is the snapshot id; None = latest."""
+    from ..plans.snapshots import SnapshotCatalog
+
+    return SnapshotCatalog(checkpoint_dir).read(
+        spark, "frontier", snapshot_id=round_no, schema=FRONTIER_SCHEMA
     )

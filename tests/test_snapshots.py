@@ -1,0 +1,60 @@
+"""Snapshot catalog (plans/snapshots.py): commit/read/time-travel/
+history/expire semantics, and the crawl engine's round snapshots
+with metrics summaries."""
+
+import pytest
+
+from minicrawler_spark.config import CrawlSettings
+from minicrawler_spark.plans.snapshots import SnapshotCatalog
+from minicrawler_spark.streaming.crawl import crawl, resume_frontier
+
+
+def test_commit_read_history_expire(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    df2 = spark.range(8).withColumnRenamed("id", "x")
+    df3 = spark.range(2).withColumnRenamed("id", "x")
+
+    assert cat.current_id("t") is None
+    cat.commit("t", df1, snapshot_id=1, summary={"rows": 5})
+    cat.commit("t", df2, snapshot_id=2, summary={"rows": 8})
+    cat.commit("t", df3, snapshot_id=3)
+
+    assert cat.current_id("t") == 3
+    assert cat.read(spark, "t").count() == 2          # current
+    assert cat.read(spark, "t", snapshot_id=1).count() == 5  # time travel
+    hist = cat.history("t")
+    assert [m["snapshot_id"] for m in hist] == [3, 2, 1]
+    assert hist[2]["summary"] == {"rows": 5}
+    assert hist[1]["parent_id"] == 1
+    assert all(m["n_files"] >= 1 for m in hist)
+
+    expired = cat.expire("t", keep_last=2)
+    assert expired == [1]
+    assert cat.read(spark, "t", snapshot_id=2).count() == 8
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, "t", snapshot_id=1)
+
+
+def test_crawl_rounds_are_snapshots(spark, tmp_path):
+    from minicrawler_spark.sources.fixtures import synthetic_seeds
+
+    ck = str(tmp_path / "ck")
+    res = crawl(
+        spark, synthetic_seeds(3, 1),
+        CrawlSettings(timeout=600, extract_links=True, dedup=True,
+                      max_depth=2, max_rounds=3),
+        checkpoint_dir=ck,
+    )
+    res.count()
+    cat = SnapshotCatalog(ck)
+    hist = cat.history("frontier")
+    assert len(hist) >= 2
+    # the snapshot summary carries the round's metrics
+    assert "scheduled" in hist[-1]["summary"]
+    assert "partitions" in hist[-1]["summary"]
+    # resume latest and a specific round
+    latest = resume_frontier(spark, ck)
+    assert latest.columns[:2] == ["index", "rawurl"]
+    r1 = resume_frontier(spark, ck, 1)
+    assert r1.count() > 0
