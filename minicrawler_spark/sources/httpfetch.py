@@ -17,11 +17,15 @@ Design decisions, mapped to the reference:
 - TLS: ssl.create_default_context; `insecure=True` disables
   verification (-k, cert.c:333); ALPN pinned to http/1.1 (the h2
   code path is out of scope — SURVEY §2.8).
-- We send `Connection: close` and read to EOF: correctness-neutral
-  (the engine's Content-Length/chunked logic still applies) but it
-  forgoes the reference's same-host-redirect connection reuse —
-  a throughput, not semantics, difference; a per-partition keep-alive
-  pool is the upgrade path.
+- Keep-alive pool: one cached connection per (scheme, host, port) per
+  worker process — the reference's same-host connection reuse
+  (crawler.c:1624-1632; host-partitioning makes hits likely). To keep
+  a reused socket clean the fetcher reads exactly one response using
+  minimal framing (head end + Content-Length / chunked terminator /
+  Connection: close); the RAW bytes still flow to the engine, whose
+  own protocol layer remains the semantic authority. Responses that
+  declare `Connection: close` (or undelimited bodies) drop the
+  socket.
 - delay_ms is the measured wall time, so the engine's virtual clock
   accumulates real elapsed time; `timeout_s` bounds the whole fetch.
 
@@ -81,6 +85,131 @@ def _connect(addrs, total_timeout: float):
     raise last_err or OSError("no addresses")
 
 
+# per-process keep-alive pool: (scheme, host, port) -> socket
+_POOL: dict = {}
+
+
+def _open(scheme: str, host: str, port: int, deadline: float,
+          timeout_s: float):
+    addrs = _resolve(host, port)
+    sock = _connect(addrs, timeout_s)
+    if scheme == "https":
+        ctx = ssl.create_default_context()
+        ctx.set_alpn_protocols(["http/1.1"])
+        if _DEFAULTS["insecure"]:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        sock.settimeout(max(0.1, deadline - time.monotonic()))
+        sock = ctx.wrap_socket(sock, server_hostname=host)
+    return sock
+
+
+def _read_response(sock, deadline: float, method: str = "GET") -> tuple:
+    """Read exactly one HTTP/1.1 response. Returns (raw_bytes,
+    reusable): minimal framing only — the engine's protocol layer is
+    the semantic authority; this just finds the response boundary so
+    a kept-alive socket stays clean."""
+    buf = b""
+    head_end = -1
+    while head_end < 0 and len(buf) < MAX_RESPONSE:
+        sock.settimeout(max(0.1, deadline - time.monotonic()))
+        data = sock.recv(65536)
+        if not data:
+            return buf, False
+        buf += data
+        head_end = buf.find(b"\r\n\r\n")
+        if head_end < 0:
+            nn = buf.find(b"\n\n")
+            if nn >= 0:
+                head_end = nn
+                body_at = nn + 2
+                break
+        else:
+            body_at = head_end + 4
+    if head_end < 0:
+        return buf, False
+
+    head = buf[:head_end].decode("latin-1", errors="replace").lower()
+    fields = {}
+    head_lines = head.split("\n")
+    for line in head_lines[1:]:
+        k, _, v = line.partition(":")
+        fields[k.strip()] = v.strip()
+    conn_close = "close" in fields.get("connection", "")
+    chunked = "chunked" in fields.get("transfer-encoding", "")
+    status_parts = head_lines[0].split()
+    status = status_parts[1] if len(status_parts) > 1 else ""
+    if method == "HEAD" or status in ("204", "304"):
+        return buf, not conn_close  # bodiless by definition
+
+    def recv_more():
+        sock.settimeout(max(0.1, deadline - time.monotonic()))
+        return sock.recv(65536)
+
+    if chunked:
+        # walk chunk frames (size lines are positional — scanning for
+        # a terminator byte-pattern would false-positive on binary
+        # chunk data); malformed framing falls back to close-delimited
+        def chunks_done(b):
+            i = body_at
+            while True:
+                j = b.find(b"\r\n", i)
+                if j < 0:
+                    return None  # need more bytes
+                try:
+                    size = int(b[i:j].split(b";")[0] or b"0", 16)
+                except ValueError:
+                    return False  # malformed; engine decodes tolerantly
+                if size == 0:
+                    return True
+                i = j + 2 + size + 2
+                if len(b) < i:
+                    return None
+
+        state = chunks_done(buf)
+        while state is None and len(buf) < MAX_RESPONSE:
+            data = recv_more()
+            if not data:
+                return buf, False
+            buf += data
+            state = chunks_done(buf)
+        if state is True:
+            # drain the trailer's final CRLF if it is still in flight
+            if not buf.endswith(b"\r\n\r\n"):
+                try:
+                    sock.settimeout(0.05)
+                    buf += sock.recv(4096)
+                except OSError:
+                    pass
+            return buf, not conn_close
+        # malformed or oversized: read to close
+        while len(buf) < MAX_RESPONSE:
+            data = recv_more()
+            if not data:
+                break
+            buf += data
+        return buf, False
+    if "content-length" in fields:
+        try:
+            want = body_at + int(fields["content-length"])
+        except ValueError:
+            want = None
+        if want is not None:
+            while len(buf) < min(want, MAX_RESPONSE):
+                data = recv_more()
+                if not data:
+                    return buf, False
+                buf += data
+            return buf, not conn_close
+    # no framing -> body is close-delimited
+    while len(buf) < MAX_RESPONSE:
+        data = recv_more()
+        if not data:
+            break
+        buf += data
+    return buf, False
+
+
 def http_fetcher(method: str, url: str, headers: dict, body):
     """The fetcher-contract entry point."""
     timeout_s = float(_DEFAULTS["timeout_s"])
@@ -95,43 +224,42 @@ def http_fetcher(method: str, url: str, headers: dict, body):
     if parts.query:
         path += "?" + parts.query
 
-    addrs = _resolve(host, port)
-    sock = _connect(addrs, timeout_s)
-    try:
-        if scheme == "https":
-            ctx = ssl.create_default_context()
-            ctx.set_alpn_protocols(["http/1.1"])
-            if _DEFAULTS["insecure"]:
-                ctx.check_hostname = False
-                ctx.verify_mode = ssl.CERT_NONE
+    lines = ["%s %s HTTP/1.1" % (method, path)]
+    for k, v in headers.items():
+        lines.append("%s: %s" % (k, v))
+    req = ("\r\n".join(lines) + "\r\n\r\n").encode("latin-1")
+    if body:
+        req += bytes(body)
+
+    key = (scheme, host, port)
+    raw = b""
+    reusable = False
+    sock = None
+    pooled = _POOL.pop(key, None)
+    for sock, fresh in ((pooled, False), (None, True)):
+        if sock is None:
+            if not fresh:
+                continue  # no pooled connection; go straight to fresh
+            sock = _open(scheme, host, port, deadline, timeout_s)
+        try:
             sock.settimeout(max(0.1, deadline - time.monotonic()))
-            sock = ctx.wrap_socket(sock, server_hostname=host)
-
-        lines = ["%s %s HTTP/1.1" % (method, path)]
-        sent = {k.lower() for k in headers}
-        for k, v in headers.items():
-            lines.append("%s: %s" % (k, v))
-        if "connection" not in sent:
-            lines.append("Connection: close")
-        req = ("\r\n".join(lines) + "\r\n\r\n").encode("latin-1")
-        if body:
-            req += bytes(body)
-
-        sock.settimeout(max(0.1, deadline - time.monotonic()))
-        sock.sendall(req)
-
-        chunks = []
-        total = 0
-        while total < MAX_RESPONSE:
-            sock.settimeout(max(0.1, deadline - time.monotonic()))
-            data = sock.recv(65536)
-            if not data:
-                break
-            chunks.append(data)
-            total += len(data)
-        raw = b"".join(chunks)
-    finally:
-        sock.close()
+            sock.sendall(req)
+            raw, reusable = _read_response(sock, deadline, method)
+        except OSError:
+            sock.close()
+            sock = None
+            if fresh:
+                raise
+            continue  # stale pooled socket; retry once on a fresh one
+        if raw or fresh:
+            break
+        sock.close()  # pooled socket returned nothing: retry fresh
+        sock = None
+    if sock is not None:
+        if reusable:
+            _POOL[key] = sock
+        else:
+            sock.close()
 
     delay_ms = int((time.monotonic() - t0) * 1000)
     return raw, delay_ms

@@ -158,3 +158,35 @@ def test_connect_refused_maps_to_error(spark):
     )
     row = res.collect()[0]
     assert row["outcome"] in ("error", "timeout")
+
+
+def test_keepalive_reuse(server):
+    """Same-host requests reuse the pooled connection (the reference's
+    crawler.c:1624-1632 reuse); the second response is clean."""
+    from minicrawler_spark.sources import httpfetch
+
+    httpfetch._POOL.clear()
+    r1, _ = http_fetcher("GET", server + "/ok", {"Host": "x"}, None)
+    assert r1.endswith(b"plain body")
+    assert len(httpfetch._POOL) == 1
+    pooled = next(iter(httpfetch._POOL.values()))
+    r2, _ = http_fetcher("GET", server + "/gzip", {"Host": "x"}, None)
+    assert r2.startswith(b"HTTP/1.1 200")
+    assert next(iter(httpfetch._POOL.values())) is pooled  # same socket
+    # chunked framing keeps the socket clean too
+    r3, _ = http_fetcher("GET", server + "/chunked", {"Host": "x"}, None)
+    assert b"chunked" in r3.lower()
+    r4, _ = http_fetcher("GET", server + "/ok", {"Host": "x"}, None)
+    assert r4.endswith(b"plain body")
+
+
+def test_stale_pooled_socket_retries_fresh(server):
+    from minicrawler_spark.sources import httpfetch
+
+    httpfetch._POOL.clear()
+    r1, _ = http_fetcher("GET", server + "/ok", {"Host": "x"}, None)
+    # kill the pooled socket behind the fetcher's back
+    key, sock = next(iter(httpfetch._POOL.items()))
+    sock.close()
+    r2, _ = http_fetcher("GET", server + "/ok", {"Host": "x"}, None)
+    assert r2.endswith(b"plain body")
