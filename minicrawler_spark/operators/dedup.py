@@ -165,46 +165,80 @@ def minhash_dup_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard near-dup pairs, bounded by blocking on
-    (lang, n_chars bucket) so the pair space never goes quadratic in
-    the table. Fully SQL-expressible (the DuckDB oracle mirrors it)."""
-    # the scalable formulation: explode distinct grams, equi-join on
-    # (gram, block) to count intersections, then
-    # |union| = n_a + n_b - |intersect|. No quadratic array ops, one
-    # shuffle keyed by gram — this survives a 100x scale-up where the
-    # array_intersect-per-pair version is O(pairs * gram_len).
-    with_grams = docs.select(
+    """Exact word-n-gram Jaccard near-dup pairs via prefix filtering
+    (the classic exact set-similarity join: Chaudhuri et al. SSJoin /
+    Xiao et al. PPJoin prefix principle), blocked on (lang, n_chars
+    bucket).
+
+    Why not the plain explode + gram-equi-join: a gram shared by K
+    docs in a block contributes K^2/2 joined rows, so one templated
+    phrase melts the shuffle (measured 82s at sf0.1). Prefix filter:
+    order each doc's grams rarest-first (global document frequency);
+    two docs can reach jaccard >= t ONLY if they share a gram inside
+    their first (g - ceil(t*g) + 1) grams, so the candidate join runs
+    on those prefixes — hot grams are almost never rare enough to be
+    in a prefix. Candidates also pass the size-ratio bound
+    (max <= min/t). Verification computes the EXACT intersection via
+    one more equi-join restricted to candidate pairs, so results are
+    identical to the naive formulation (the DuckDB oracle checks)."""
+    blocked = docs.select(
         "doc_id",
+        "text",
         "lang",
         (F.col("n_chars") / 64).cast("long").alias("size_bucket"),
-        F.array_distinct(_word_ngrams(tokenize(F.col("text")), n)).alias("grams"),
     )
-    sizes = with_grams.select(
-        "doc_id", "lang", "size_bucket", F.size("grams").alias("n_grams")
+    exploded = word_ngram_rows(
+        blocked, n, extra_cols=("lang", "size_bucket")
+    ).dropDuplicates(["doc_id", "gram"])
+
+    # global gram document frequency -> rarest-first prefix per doc;
+    # n_grams rides the same doc_id shuffle as the rank window
+    gram_df = exploded.groupBy("gram").agg(F.count("*").alias("gdf"))
+    w_rank = Window.partitionBy("doc_id").orderBy("gdf", "gram")
+    w_doc = Window.partitionBy("doc_id")
+    prefix_len = (
+        F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
     )
-    exploded = with_grams.select(
-        "doc_id", "lang", "size_bucket", F.explode("grams").alias("gram")
+    pref = (
+        exploded.join(gram_df, "gram")
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_grams", F.count("*").over(w_doc))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "lang", "size_bucket", "n_grams", "gram")
     )
-    l, r = exploded.alias("l"), exploded.alias("r")
-    inter = (
+
+    l, r = pref.alias("l"), pref.alias("r")
+    candidates = (
         l.join(
             r,
             (F.col("l.gram") == F.col("r.gram"))
             & (F.col("l.lang") == F.col("r.lang"))
             & (F.col("l.size_bucket") == F.col("r.size_bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            # size-ratio bound: jaccard >= t forces max <= min / t
+            & (F.col("l.n_grams") * F.lit(threshold) <= F.col("r.n_grams"))
+            & (F.col("r.n_grams") * F.lit(threshold) <= F.col("l.n_grams")),
         )
-        .groupBy(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_grams").alias("n_a"),
+            F.col("r.n_grams").alias("n_b"),
         )
+        .distinct()
+    )
+
+    # exact verification: count shared grams for candidate pairs only
+    ga = exploded.select(F.col("doc_id").alias("doc_a"), F.col("gram"))
+    gb = exploded.select(F.col("doc_id").alias("doc_b"), F.col("gram"))
+    inter = (
+        candidates.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -218,7 +252,13 @@ def ngram_jaccard_pairs(
 
 def _word_ngrams(tokens_col, n: int):
     """n-grams as '_'-joined token windows via transform over indices;
-    empty when the doc has fewer than n tokens."""
+    empty when the doc has fewer than n tokens.
+
+    NOTE: the lambda runs interpreted and the whole expression is
+    re-evaluated once per referencing expression — only use on a
+    materialized token COLUMN and reference the result once. The
+    relational formulation (word_ngram_rows) is the hot-path variant.
+    """
     grams = F.transform(
         F.sequence(F.lit(0), F.size(tokens_col) - n),
         lambda i: F.concat_ws(
@@ -227,6 +267,32 @@ def _word_ngrams(tokens_col, n: int):
     )
     return F.when(F.size(tokens_col) >= n, grams).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def word_ngram_rows(docs: DataFrame, n: int = 3, extra_cols=()) -> DataFrame:
+    """Exploded (doc_id, gram) rows — posexplode + lead() windows, no
+    higher-order functions. HOF lambdas run interpreted and Catalyst
+    re-evaluates the whole array expression per reference (measured
+    ~1ms/doc/reference on 50-token docs); this relational form stays
+    inside codegen except one small per-doc window sort. Grams keep
+    duplicates (callers dropDuplicates when set semantics are needed).
+    """
+    toks = docs.select(
+        "doc_id", *extra_cols,
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w).alias("t%d" % j) for j in range(1, n)
+    ]
+    staged = toks.select("doc_id", *extra_cols, *parts)
+    last = "t%d" % (n - 1)
+    return staged.filter(F.col(last).isNotNull()).select(
+        "doc_id", *extra_cols,
+        F.concat_ws("_", "tok", *["t%d" % j for j in range(1, n)]).alias(
+            "gram"
+        ),
     )
 
 

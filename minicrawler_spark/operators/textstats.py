@@ -105,9 +105,11 @@ def fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     transforms: Catalyst re-evaluates a higher-order-function chain
     once per referencing expression (3x md5 of every shingle,
     measured 44s -> 4s at sf0.1)."""
-    grams = docs.select(
-        "doc_id", F.explode(_word_ngrams(tokenize(F.col("text")), n)).alias("g")
-    )
+    # relational shingling (posexplode + lead windows): HOF array
+    # lambdas run interpreted and re-evaluate per reference
+    from .dedup import word_ngram_rows
+
+    grams = word_ngram_rows(docs, n).withColumnRenamed("gram", "g")
     agg = grams.groupBy("doc_id").agg(
         F.min(F.md5("g")).alias("fp_min"),
         F.max(F.md5("g")).alias("fp_max"),
