@@ -948,6 +948,7 @@ def crawl(
     num_partitions: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     report: Optional[dict] = None,
+    on_finish: Optional[Callable[[DataFrame], DataFrame]] = None,
 ) -> DataFrame:
     """mcrawler_go (crawler.c:2047-2094) as a driver loop. `seeds` is a
     list of URL strings/dicts or a frontier DataFrame. Returns the
@@ -1221,7 +1222,12 @@ def crawl(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r, allowMissingColumns=True)
-    return finalize_results(out)
+    out = finalize_results(out)
+    if on_finish is not None:
+        # the mcrawler_url_callback extension point (minicrawler.h:204,
+        # 209; SURVEY §2.11) as a DataFrame -> DataFrame transform
+        out = on_finish(out)
+    return out
 
 
 def finalize_results(df: DataFrame) -> DataFrame:

@@ -217,3 +217,23 @@ def test_politeness_delay_budget(spark):
     ).count()
     assert waiting >= 19
     assert res.count() == 30
+
+
+def test_on_finish_hook(spark):
+    """The on-finish callback extension point (minicrawler.h:204;
+    SURVEY §2.11) as a DataFrame transform."""
+    calls = []
+
+    def hook(df):
+        calls.append(1)
+        return df.withColumn("hooked", F.lit(True)).filter("status = 200")
+
+    res = crawl(
+        spark,
+        ["http://host0.test/page/1", "http://host0.test/teapot"],
+        CrawlSettings(timeout=600),
+        on_finish=hook,
+    )
+    rows = res.collect()
+    assert calls == [1]
+    assert len(rows) == 1 and rows[0]["hooked"] is True
