@@ -570,6 +570,15 @@ def _make_fetch_stage(settings: dict, round_no: int):
                 settings["extract_links"] and is_html
             ):
                 spans, links = to_spans(body)
+                # the spans contract (SURVEY §1.4 / input_hint):
+                # media_ref is the <img src> RESOLVED against the page
+                for s in spans:
+                    if s["kind"] == "media" and s["media_ref"]:
+                        href2, _h2, _s2, fail2 = urlnorm.canonicalize(
+                            s["media_ref"], href
+                        )
+                        if not fail2:
+                            s["media_ref"] = href2
                 o["spans_json"] = json.dumps(spans)
                 if settings["convert_to_text"]:
                     body = "".join(
