@@ -245,3 +245,101 @@ def test_error_and_auth_fields_match(server, spark):
         assert ref[i]["status"] == ours[i]["status"], i
         if "error_msg" in ref[i]:
             assert ref[i]["error_msg"] == ours[i]["error_msg"], i
+
+
+class EchoHandler(BaseHTTPRequestHandler):
+    """Echoes the request line + sorted headers (minus Connection,
+    which differs legitimately between keep-alive strategies) into the
+    body — the wire-request equality oracle. Also serves basic and
+    digest challenges with a fixed nonce."""
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):
+        pass
+
+    def _echo(self, extra=b""):
+        skip = {"connection"}
+        lines = ["%s %s" % (self.command, self.path)]
+        for k in sorted(self.headers, key=str.lower):
+            if k.lower() not in skip:
+                lines.append("%s: %s" % (k, self.headers[k]))
+        body = ("\n".join(lines)).encode() + extra
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _challenge(self, header):
+        self.send_response(401)
+        self.send_header("WWW-Authenticate", header)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_GET(self):
+        if self.path == "/basic":
+            if self.headers.get("Authorization", "").startswith("Basic "):
+                self._echo()
+            else:
+                self._challenge('Basic realm="r1"')
+        elif self.path == "/digest":
+            if self.headers.get("Authorization", "").startswith("Digest "):
+                self._echo()
+            else:
+                self._challenge(
+                    'Digest realm="dr", nonce="fixednonce123", qop="auth"'
+                )
+        else:
+            self._echo()
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        self._echo(b"\n<body>" + self.rfile.read(n))
+
+    do_DELETE = do_GET
+
+
+@pytest.fixture(scope="module")
+def echo_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), EchoHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield "http://127.0.0.1:%d" % srv.server_address[1]
+    srv.shutdown()
+
+
+def test_wire_requests_match_reference(echo_server, spark):
+    """Both engines must put the SAME header set on the wire: UA,
+    Accept default, custom -w header, cookie jar line, gzip opt-in,
+    POST content headers, custom method, Basic and Digest
+    Authorization (fixed cnonce/nc make digest deterministic)."""
+    jar = "127.0.0.1\t1\t/\t0\t9999999999\tjk\tjv"
+    seeds = [
+        echo_server + "/plain",
+        echo_server + "/basic",
+        echo_server + "/digest",
+    ]
+    ref = run_reference(
+        ["-t20", "-g", "-A", "ref-agent/9", "-w", "X-Extra: 42",
+         "-b", jar, "-u", "usr", "-ppw",
+         "-P", "k=v", seeds[0], seeds[1], seeds[2]]
+    )
+    ours = run_ours(
+        spark,
+        [{"url": seeds[0], "method": "POST", "post": b"k=v",
+          "cookies": [{"name": "jk", "value": "jv", "domain": "127.0.0.1",
+                       "path": "/", "secure": False, "host_only": True,
+                       "expires": 9999999999}]}]
+        + [{"url": s,
+            "cookies": [{"name": "jk", "value": "jv", "domain": "127.0.0.1",
+                         "path": "/", "secure": False, "host_only": True,
+                         "expires": 9999999999}]} for s in seeds[1:]],
+        CrawlSettings(timeout=20, real_time=True, gzip=True,
+                      customagent="ref-agent/9", customheader="X-Extra: 42",
+                      username="usr", password="pw"),
+    )
+    for i in range(3):
+        assert ref[i]["status"] == ours[i]["status"] == 200, i
+        assert ref[i]["body"] == bytes(ours[i]["body"]), (
+            i, ref[i]["body"], bytes(ours[i]["body"]))
