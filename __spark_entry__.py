@@ -99,6 +99,14 @@ def q_minhash_dup_pairs(spark, sf):
     return D.minhash_dup_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def q_simhash_pairs(spark, sf):
+    return D.simhash_dup_pairs(_t(spark, sf, "documents"))
+
+
+def q_ann_ivf(spark, sf):
+    return S.ivf_topk(_t(spark, sf, "embeddings"))
+
+
 def q_ann_topk(spark, sf):
     return S.brute_force_topk(_t(spark, sf, "embeddings"))
 
@@ -364,7 +372,9 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embed_near_dups": q_embed_near_dups,
     "q_minhash_dup_pairs": q_minhash_dup_pairs,
+    "q_simhash_pairs": q_simhash_pairs,
     "q_ann_topk": q_ann_topk,
+    "q_ann_ivf": q_ann_ivf,
     "q_ann_lsh": q_ann_lsh,
     "q_token_stats": q_token_stats,
     "q_quality": q_quality,
@@ -489,6 +499,61 @@ ORACLES = {
       from e l join e r on l.label = r.label and l.vec_id < r.vec_id
       where %s >= 0.9
     """ % (_COS, _COS),
+    "q_simhash_pairs": """
+      with sigs as (%s),
+      bands as (
+        %s
+      ),
+      cand as (
+        select distinct l.doc_id as doc_a, r.doc_id as doc_b,
+               l.simhash as sa, r.simhash as sb
+        from bands l join bands r
+          on l.band = r.band and l.key = r.key and l.doc_id < r.doc_id
+      )
+      select doc_a, doc_b, bit_count(xor(sa, sb)) as hamming
+      from cand where bit_count(xor(sa, sb)) <= 3
+    """ % (
+        _simhash_sql(),
+        "\n        union all\n        ".join(
+            "select doc_id, simhash, %d as band,"
+            " (simhash >> %d) & 32767 as key from sigs" % (b, b * 15)
+            for b in range(4)
+        ),
+    ),
+    "q_ann_ivf": """
+      with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      c as (select vec_id as cell, v as cv from e where vec_id < 16),
+      aff as (
+        select e.vec_id, c.cell, e.v,
+               round(list_dot_product(e.v, c.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(c.cv, c.cv))), 6) as cos
+        from e cross join c
+      ),
+      ranked as (
+        select *, row_number() over (partition by vec_id
+                                     order by cos desc, cell asc) as crk
+        from aff
+      ),
+      assign as (select vec_id, cell, v from ranked where crk = 1),
+      probes as (
+        select vec_id as query_id, cell, v as qv
+        from ranked where vec_id < 5 and crk <= 2
+      ),
+      scored as (
+        select p.query_id, a.vec_id,
+               round(list_dot_product(p.qv, a.v) /
+                     (sqrt(list_dot_product(p.qv, p.qv)) *
+                      sqrt(list_dot_product(a.v, a.v))), 4) as cosine
+        from probes p join assign a using (cell)
+        where a.vec_id <> p.query_id
+      )
+      select query_id, vec_id, cosine, rank from (
+        select *, row_number() over (partition by query_id
+                                     order by cosine desc, vec_id asc) as rank
+        from scored
+      ) where rank <= 5
+    """,
     "q_ann_topk": """
       with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
       q as (select vec_id as query_id, v from e where vec_id < 5),

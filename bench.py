@@ -155,9 +155,11 @@ def main():
         "q_dedup_exact",
         "q_simhash",
         "q_minhash_sigs",
+        "q_simhash_pairs",
         "q_ngram_jaccard",
         "q_ann_topk",
         "q_ann_lsh",
+        "q_ann_ivf",
         "q_token_stats",
         "q_quality",
         "q_lang_guess",

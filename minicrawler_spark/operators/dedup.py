@@ -326,3 +326,51 @@ def embedding_near_dups(
             "cosine",
         )
     )
+
+
+def simhash_dup_pairs(
+    docs: DataFrame, bits: int = 60, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: banded exact-match blocking + Hamming
+    verification. With `bands` bands of bits/bands bits each, any pair
+    within max_hamming = bands-1 bit flips shares at least one intact
+    band (pigeonhole), so candidate generation is an equi-join on
+    (band, band_key) — never a cross join — and the verdict is exact:
+    bit_count(xor) <= max_hamming."""
+    r = bits // bands
+    mask = (1 << r) - 1
+    sig = simhash(docs, bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * r).bitwiseAND(mask).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    l, r_ = buckets.alias("l"), buckets.alias("r")
+    pairs = (
+        l.join(
+            r_,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -102,3 +102,56 @@ def lsh_bucket_ann(
             "rank",
         )
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every vector to its
+    nearest cell; queries probe only their n_probe nearest cells and
+    brute-force within. Work is ~ n * n_probe / n_cells of the full
+    scan — the inverted-file scale path next to the LSH one.
+
+    Centroids are the vectors with the n_cells smallest vec_ids —
+    deterministic by construction (a k-means refinement would drift
+    between engines; the DuckDB oracle mirrors this seeding exactly).
+    """
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    affinity = base.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", F.round(_cosine(F.col("v"), F.col("cv")), 6)
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cell")
+    )
+    ranked = affinity.withColumn("crk", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("crk") == 1).select("vec_id", "cell", "v")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < n_queries) & (F.col("crk") <= n_probe)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell"),
+            F.col("v").alias("qv"),
+        )
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

