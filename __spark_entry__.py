@@ -321,6 +321,30 @@ def q_hot_host_salt(spark, sf):
     ).withColumn("salt", (F.col("slot") / 8).cast("long"))
 
 
+def q_multimodal_features(spark, sf):
+    """Multimodal decode plumbing (operators/multimodal.py) over
+    synthesized binary media (PNG magic + utf-8 text bytes): the REAL
+    Arrow-batched mapInPandas path runs; the deterministic stub decode
+    is mirrored exactly by the SQL oracle (width/height from the
+    sha256 digest's first bytes)."""
+    from minicrawler_spark.operators.multimodal import decode_and_featurize
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("content_type"),
+        F.concat(
+            F.lit(b"PNGSTUB:"), F.encode("text", "utf-8")
+        ).alias("data"),
+    )
+    return decode_and_featurize(media).select(
+        "media_ref", "n_bytes", "sha256", "width", "height"
+    )
+
+
 def q_url_canonicalize(spark, sf):
     """WHATWG canonicalization over synthesized messy URLs. The
     oracle is the closed form of the construction (uppercase scheme/
@@ -391,6 +415,7 @@ QUERIES = {
     "q_robots_gate": q_robots_gate,
     "q_crawl_delay_schedule": q_crawl_delay_schedule,
     "q_hot_host_salt": q_hot_host_salt,
+    "q_multimodal_features": q_multimodal_features,
     "q_url_canonicalize": q_url_canonicalize,
 }
 
@@ -740,6 +765,16 @@ ORACLES = {
                                   order by ts, event_id) - 1 as slot
         from events
       )
+    """,
+    "q_multimodal_features": """
+      select 'img://doc/' || doc_id::VARCHAR as media_ref,
+             8 + octet_length(encode(text)) as n_bytes,
+             sha256('PNGSTUB:' || text) as sha256,
+             1 + ('0x' || substr(sha256('PNGSTUB:' || text), 1, 2))::INT % 64
+               as width,
+             1 + ('0x' || substr(sha256('PNGSTUB:' || text), 3, 2))::INT % 64
+               as height
+      from documents
     """,
     "q_url_canonicalize": """
       select doc_id,

@@ -51,8 +51,10 @@ def _decode_image_stub(data: bytes):
     """Deterministic fake decode: dimensions + a 64-byte feature
     derived from the content hash. Raises on non-PNG magic the way a
     real decoder raises on corrupt input. Replace with PIL/pyvips in
-    production (NotImplementedError marks the seam)."""
-    if not data.startswith(b"\x89PNG"):
+    production (NotImplementedError marks the seam). The ASCII
+    'PNGSTUB:' magic is accepted for cross-engine oracle tests (the
+    DuckDB sha256 only takes VARCHAR, so oracle inputs stay UTF-8)."""
+    if not (data.startswith(b"\x89PNG") or data.startswith(b"PNGSTUB:")):
         raise NotImplementedError("real decoder not available; non-PNG input")
     h = hashlib.sha256(data).digest()
     width = 1 + h[0] % 64
