@@ -110,11 +110,43 @@ def crawl_stream(
         .csv(frontier_dir)
     )
 
+    import dataclasses
+
+    run_settings = (
+        dataclasses.replace(settings, per_host_budget=0)
+        if settings.per_host_budget > 0
+        else settings
+    )
+
     def process_batch(batch: DataFrame, epoch_id: int):
         if batch.isEmpty():
             return
         frontier = _to_frontier(batch, settings)
         canon = _canonicalize_df(frontier).localCheckpoint(eager=True)
+
+        if settings.per_host_budget > 0:
+            # budget cut BEFORE the seen-add: deferred rows go back
+            # into the frontier stream as fresh files, so they must
+            # not be marked seen yet
+            from pyspark.sql import Window
+
+            valid = canon.filter(F.col("errkind") == "")
+            bad = canon.filter(F.col("errkind") != "")
+            w = Window.partitionBy("host").orderBy("priority", "seq")
+            slotted = valid.withColumn(
+                "bslot", F.row_number().over(w) - 1
+            )
+            deferred = slotted.filter(
+                F.col("bslot") >= settings.per_host_budget
+            ).select("depth", "rawurl")
+            if not deferred.isEmpty():
+                (deferred.coalesce(1).write.mode("append")
+                 .option("sep", "\t").csv(frontier_dir))
+            canon = (
+                slotted.filter(F.col("bslot") < settings.per_host_budget)
+                .drop("bslot")
+                .unionByName(bad)
+            ).localCheckpoint(eager=True)
 
         if seen_filter is not None:
             valid = canon.filter(F.col("errkind") == "")
@@ -133,8 +165,8 @@ def crawl_stream(
 
         parallelism = spark.sparkContext.defaultParallelism
         n_parts = min(parallelism, max(1, canon.count() // 100 + 1))
-        fetched, errors = crawl_round(
-            canon, settings, fetcher_spec, int(epoch_id), host_counts,
+        fetched, errors, _deferred = crawl_round(
+            canon, run_settings, fetcher_spec, int(epoch_id), host_counts,
             n_parts, pre_canonicalized=True,
         )
         fetched = fetched.localCheckpoint(eager=True)

@@ -893,7 +893,11 @@ def crawl_round(
     pre_canonicalized: bool = False,
 ):
     """One crawl round: canonicalize -> gates -> politeness window ->
-    host-salted repartition -> fetch stage. Returns (fetched, errors).
+    host-salted repartition -> fetch stage. Returns
+    (fetched, errors, deferred): `deferred` holds the rows beyond the
+    per-host round budget — still canonicalized, NOT fetched — which
+    the driver loop carries into the next round (they are already in
+    the seen set, so they must not re-enter through dedup).
 
     With `pre_canonicalized` the caller already ran _canonicalize_df
     (the dedup/robots path does — avoids a second WHATWG parse pass).
@@ -924,7 +928,19 @@ def crawl_round(
     ).drop("host_count")
 
     if settings.per_host_budget > 0:
+        # over-budget rows defer to the next round, keeping their
+        # canon columns (they already passed dedup/robots)
+        defer_cols = [f.name for f in FRONTIER_FIELDS] + [
+            "href", "host", "hostname", "scheme", "path_query", "errkind",
+        ]
+        if "crawl_delay_ms" in ok.columns:
+            defer_cols.append("crawl_delay_ms")
+        deferred = ok.filter(
+            F.col("slot") >= settings.per_host_budget
+        ).select(*defer_cols)
         ok = ok.filter(F.col("slot") < settings.per_host_budget)
+    else:
+        deferred = None
 
     # co-locate same-host jobs; politeness is enforced by the schedule
     # computed above (wait_ms is global, not per-partition), so a hot
@@ -946,7 +962,7 @@ def crawl_round(
     sdict = settings.as_dict()
     sdict["fetcher"] = fetcher_spec
     fetched = ok.mapInPandas(_make_fetch_stage(sdict, round_no), FETCH_OUT_SCHEMA)
-    return fetched, errors
+    return fetched, errors, deferred
 
 
 def crawl(
@@ -986,6 +1002,8 @@ def crawl(
 
     results: list = []
     host_stats: Optional[DataFrame] = None  # (host, host_count, host_err)
+    carryover: Optional[DataFrame] = None   # budget-deferred canon rows
+    carry_n = 0
     seen: Optional[DataFrame] = None
     seen_filter = None
     robots_df: Optional[DataFrame] = None
@@ -1061,6 +1079,12 @@ def crawl(
                 round_metrics["robots_denied"] = denied.count()
             canon = valid.unionByName(bad, allowMissingColumns=True)
 
+        if carryover is not None:
+            # rows deferred by the per-host budget: already
+            # canonicalized, deduped and robots-gated last round
+            canon = canon.unionByName(carryover, allowMissingColumns=True)
+            carryover = None
+
         host_counts = (
             host_stats.select("host", "host_count")
             if host_stats is not None
@@ -1069,14 +1093,20 @@ def crawl(
         if num_partitions is None:
             parallelism = spark.sparkContext.defaultParallelism
             round_parts = min(
-                parallelism, max(1, frontier.count() // 100 + 1)
+                parallelism,
+                max(1, (frontier.count() + carry_n) // 100 + 1),
             )
         else:
             round_parts = num_partitions
-        fetched, errors = crawl_round(
+        carry_n = 0
+        fetched, errors, deferred = crawl_round(
             canon, settings, fetcher_spec, round_no, host_counts,
             round_parts, pre_canonicalized=True,
         )
+        if deferred is not None:
+            deferred = deferred.localCheckpoint(eager=True)
+            carry_n = deferred.count()
+            carryover = deferred if carry_n else None
         fetched = fetched.localCheckpoint(eager=True)
         if settings.impatient:
             fetched = _impatient_cutoff(fetched, settings).localCheckpoint(
@@ -1225,7 +1255,7 @@ def crawl(
             )
 
         round_no += 1
-        if frontier.isEmpty():
+        if frontier.isEmpty() and carryover is None:
             break
 
     out = results[0]

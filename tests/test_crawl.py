@@ -237,3 +237,25 @@ def test_on_finish_hook(spark):
     rows = res.collect()
     assert calls == [1]
     assert len(rows) == 1 and rows[0]["hooked"] is True
+
+
+def test_per_host_budget_defers_not_drops(spark):
+    """Rows beyond the per-host round budget must carry over to later
+    rounds (they are already in the seen set, so silently dropping
+    them would lose the URLs forever)."""
+    seeds = [f"http://one.test/page/{i}" for i in range(7)]
+    res = crawl(
+        spark, seeds,
+        CrawlSettings(timeout=600, dedup=True, per_host_budget=3,
+                      max_rounds=10),
+    ).cache()
+    done = res.filter("outcome = 'done'")
+    assert done.count() == 7  # every seed eventually fetched
+    # budget respected per round: <= 3 fetches of the host per round
+    per_round = {r["round"]: r["count"]
+                 for r in done.groupBy("round").count().collect()}
+    assert all(c <= 3 for c in per_round.values())
+    assert len(per_round) == 3  # 3 + 3 + 1
+    # cross-round host_seq stays gapless 0..6
+    seqs = sorted(r["host_seq"] for r in done.collect())
+    assert seqs == list(range(7))
