@@ -156,6 +156,39 @@ def crawl_stream(
             seen_filter.add(novel.select("url_hash"))
             canon = novel.drop("url_hash").unionByName(bad)
 
+        if settings.respect_robots:
+            # robots rules persist across micro-batches (and restarts)
+            # through the catalog table; new hosts fetched per batch
+            from .crawl import ROBOTS_SCHEMA, _robots_gate, fetch_robots
+
+            sdict = settings.as_dict()
+            sdict["fetcher"] = fetcher_spec
+            valid = canon.filter(F.col("errkind") == "")
+            bad = canon.filter(F.col("errkind") != "")
+            try:
+                robots_df = catalog.read(
+                    spark, "robots", schema=ROBOTS_SCHEMA
+                )
+            except FileNotFoundError:
+                robots_df = None
+            hosts = valid.select("host", "hostname", "scheme").dropDuplicates(
+                ["host"]
+            )
+            if robots_df is not None:
+                hosts = hosts.join(robots_df.select("host"), "host", "left_anti")
+            new_robots = fetch_robots(hosts, fetcher_spec, sdict)
+            robots_df = (
+                new_robots if robots_df is None
+                else robots_df.unionByName(new_robots)
+            ).localCheckpoint(eager=True)
+            catalog.commit(
+                "robots", robots_df, snapshot_id=int(epoch_id) + 1,
+                summary={"epoch": int(epoch_id)},
+            )
+            valid, denied = _robots_gate(valid, robots_df, int(epoch_id))
+            denied.write.mode("append").parquet(output_dir + "_robots_denied")
+            canon = valid.unionByName(bad, allowMissingColumns=True)
+
         try:
             host_counts = catalog.read(
                 spark, "host_stats", schema="host string, host_count long"

@@ -92,3 +92,35 @@ def test_streaming_seed_injection_after_start(spark, tmp_path):
         assert res.filter("status = -10").count() == 1  # parse error row
     finally:
         q.stop()
+
+
+def test_streaming_robots_gate(spark, tmp_path):
+    """robots.txt gating in streaming mode: disallowed paths never
+    reach the output; rules persist via the catalog table."""
+    frontier = str(tmp_path / "frontier")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # host0.test disallows /private8/ and /page/28 (fixtures.py:300)
+    write_seeds(frontier, [
+        "http://host0.test/page/1",
+        "http://host0.test/private8/x",
+        "http://host0.test/page/28",
+    ])
+    q = crawl_stream(
+        spark, frontier, out, ck,
+        CrawlSettings(timeout=600, respect_robots=True),
+        trigger_seconds=0.5,
+    )
+    try:
+        n = _wait_stable(spark, out, settle_rounds=3, min_rows=1)
+        assert n == 1
+        res = spark.read.parquet(out)
+        assert res.collect()[0]["path_query"] == "/page/1"
+        denied = spark.read.parquet(out + "_robots_denied")
+        assert denied.count() == 2
+        assert set(r["error_msg"] for r in denied.collect()) == {
+            "Disallowed by robots.txt"
+        }
+    finally:
+        q.stop()
