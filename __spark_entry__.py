@@ -699,8 +699,8 @@ ORACLES = {
     """,
     "q_done_scan": """
       select o_orderpriority,
-             count_if(o_orderstatus = 'F') as n_done,
-             count_if(o_orderstatus <> 'F') as n_pending,
+             count(*) filter (where o_orderstatus = 'F') as n_done,
+             count(*) filter (where o_orderstatus <> 'F') as n_pending,
              count(*) as n_total
       from orders group by o_orderpriority
     """,

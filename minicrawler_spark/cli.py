@@ -25,9 +25,30 @@ import sys
 VERSION = "5.2.7"
 
 
+class UsageError(ValueError):
+    """Raised for malformed argv (e.g. a value option at end of argv)."""
+
+
+def _atoi(s):
+    """C atoi: parse an optional-signed leading integer, else 0
+    (reference: -t/-D/-m go through atoi, cli.c:78-79,101)."""
+    import re as _re
+
+    m = _re.match(r"\s*[+-]?\d+", s)
+    return int(m.group()) if m else 0
+
+
 def parse_argv(argv):
     """initurls (cli.c:50-153) — global options accumulate, url
     options bind to the next URL."""
+
+    def next_arg(i):
+        # the reference reads argv[t+1] unchecked (UB in C); we make
+        # the truncated-argv case a usage error instead
+        if i + 1 >= len(argv):
+            raise UsageError("option %s requires a value" % argv[i])
+        return argv[i + 1]
+
     settings_kw = {}
     seeds = []
     customheader = ""
@@ -60,27 +81,29 @@ def parse_argv(argv):
             settings_kw["follow_redirects"] = False
         elif a == "-6":
             settings_kw["ipv6_only"] = True
-        elif a.startswith("-t") and len(a) > 2:
-            settings_kw["timeout"] = int(a[2:])
-        elif a.startswith("-D") and len(a) > 2:
-            settings_kw["delay"] = int(a[2:])
-        elif a.startswith("-p") and len(a) > 2:
+        elif a.startswith("-t"):
+            # attached-value options match bare too (strncmp, cli.c:78):
+            # "-t" == atoi("") == 0, never a seed URL
+            settings_kw["timeout"] = _atoi(a[2:])
+        elif a.startswith("-D"):
+            settings_kw["delay"] = _atoi(a[2:])
+        elif a.startswith("-p"):
             settings_kw["password"] = a[2:]
-        elif a.startswith("-m") and len(a) > 2:
-            settings_kw["max_page_size"] = int(a[2:]) * 1024 * 1024
+        elif a.startswith("-m"):
+            settings_kw["max_page_size"] = _atoi(a[2:]) * 1024 * 1024
         elif a == "-w":
-            customheader = argv[i + 1]
+            customheader = next_arg(i)
             i += 1
         elif a == "-A":
-            customagent = argv[i + 1].replace("%version%", VERSION)
+            customagent = next_arg(i).replace("%version%", VERSION)
             i += 1
         elif a == "-u":
-            settings_kw["username"] = argv[i + 1]
+            settings_kw["username"] = next_arg(i)
             i += 1
         elif a == "-b":
             from .functions.cookies import parse_netscape
 
-            for line in argv[i + 1].splitlines():
+            for line in next_arg(i).splitlines():
                 c = parse_netscape(line)
                 if c is not None and len(jar) < 25:
                     jar.append(c)
@@ -88,16 +111,16 @@ def parse_argv(argv):
         elif a == "--fixture":
             fixture = True
         elif a == "-P":
-            pending["post"] = argv[i + 1].encode()
+            pending["post"] = next_arg(i).encode()
             pending.setdefault("method", "POST")
             i += 1
         elif a == "-X":
-            pending["method"] = argv[i + 1]
+            pending["method"] = next_arg(i)
             i += 1
         elif a == "-C":
             if customheader:
                 pending["customheader"] = (
-                    customheader.replace("%", argv[i + 1]) + "\r\n"
+                    customheader.replace("%", next_arg(i)) + "\r\n"
                 )
             i += 1
         else:
@@ -125,7 +148,11 @@ def main(argv=None) -> int:
         )
         return 1
 
-    seeds, settings_kw, writehead, fixture = parse_argv(argv)
+    try:
+        seeds, settings_kw, writehead, fixture = parse_argv(argv)
+    except UsageError as e:
+        print("minicrawler-spark: %s" % e, file=sys.stderr)
+        return 1
     if not seeds:
         return 1
 

@@ -15,9 +15,11 @@ reference. Design decisions:
 - `Crawl-delay: N` (a de-facto extension, served by the fixture web)
   is surfaced in seconds so the politeness scheduler can take
   max(settings.delay, crawl_delay) per host.
-- unfetchable robots (connection error) and non-2xx statuses -> allow
-  all (RFC 9309 §2.3.1.2-4 treats 4xx as allow-all; we deliberately
-  extend that to 5xx so the deterministic fixture web stays total).
+- 3xx/4xx statuses -> allow all (RFC 9309 §2.3.1.2). Unreachable
+  robots.txt and 5xx are mode-dependent (crawl.py fetch_robots):
+  real-network mode treats them as complete disallow per RFC 9309
+  §2.3.1.3-4 (the host could not serve its policy); fixture mode keeps
+  allow-all so deterministic fixtures without robots.txt stay total.
 
 Rules travel between Spark stages as a JSON column
 `[[allow:bool, pattern:str], ...]` per host; matching is vectorized

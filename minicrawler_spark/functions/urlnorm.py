@@ -1003,8 +1003,14 @@ _CANON_FAST = re.compile(
     r"((?:[a-z0-9]+(?:-[a-z0-9]+)*\.)+[a-z]{2,63})"
     r"(?::([1-9][0-9]{0,4}))?"
     r"(/[A-Za-z0-9\-._~!$&'()*+,;=:@/%]*)?"
-    r"(\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?%]*)?$"
+    r"(\?[A-Za-z0-9\-._~!$&()*+,;=:@/?%]*)?$"
 )
+# NOTE: ' (apostrophe) is deliberately absent from the QUERY charset: the
+# WHATWG query state percent-encodes ' to %27 for special schemes, so an
+# apostrophe-bearing query must fall through to the state machine or the
+# same URL would get two different canonical hrefs (fast vs slow path),
+# splitting the URL-seen set. It stays in the PATH charset, where WHATWG
+# does not encode it.
 # '%' is safe in the fast charsets: the WHATWG path/query states copy
 # both valid and invalid percent escapes through verbatim ('%' is not
 # in any encode set), so an already-present escape never changes the

@@ -75,9 +75,19 @@ class SnapshotCatalog:
         files = sorted(
             f for f in os.listdir(data_dir) if f.endswith(".parquet")
         )
+        # Re-committing an id that is already CURRENT (at-least-once
+        # foreachBatch retry, or crawl() re-run on an existing
+        # checkpoint_dir restarting round ids) must not create a
+        # self-referential parent chain: inherit the prior parent.
+        parent = self.current_id(table)
+        if parent == snapshot_id:
+            try:
+                parent = self.manifest(table, snapshot_id).get("parent_id")
+            except FileNotFoundError:
+                parent = None
         manifest = {
             "snapshot_id": snapshot_id,
-            "parent_id": self.current_id(table),
+            "parent_id": parent,
             "summary": summary or {},
             "schema": df.schema.jsonValue(),
             "files": files,
@@ -127,10 +137,18 @@ class SnapshotCatalog:
             return json.load(f)
 
     def history(self, table: str) -> list:
-        """Manifests newest-first, walking parent ids from CURRENT."""
+        """Manifests newest-first, walking parent ids from CURRENT.
+        Stops on a repeated id so a cyclic parent chain (from a legacy
+        re-commit of the same id) can never loop forever."""
         out = []
+        seen = set()
         sid = self.current_id(table)
-        while sid is not None and os.path.exists(self._meta(table, sid)):
+        while (
+            sid is not None
+            and sid not in seen
+            and os.path.exists(self._meta(table, sid))
+        ):
+            seen.add(sid)
             m = self.manifest(table, sid)
             out.append(m)
             sid = m.get("parent_id")

@@ -82,26 +82,81 @@ def _connect(addrs, total_timeout: float):
         except OSError as e:
             last_err = e
             s.close()
-    raise last_err or OSError("no addresses")
+    # never re-raise a bare TimeoutError here: the engine maps
+    # TimeoutError to the reference's RECVREPLY timeout record, while a
+    # connect-phase failure must stay "Connection failed" (crawler.c
+    # maps connect timeouts to the next-IP/error path, not the timeout
+    # record).
+    raise OSError("connect failed: %s" % (last_err or "no addresses"))
 
 
 # per-process keep-alive pool: (scheme, host, port) -> socket
 _POOL: dict = {}
 
 
+# TLS downgrade ladder (crawler.c:97-131 lower_ssl_protocol): on
+# handshake failure retry the connection with max_proto_version stepped
+# one version lower, stopping below TLS 1.0 (the reference stops at
+# SSL3, which Python's ssl cannot speak; TLSv1 is our floor).
+_TLS_LADDER = [
+    ssl.TLSVersion.MAXIMUM_SUPPORTED,
+    ssl.TLSVersion.TLSv1_2,
+    ssl.TLSVersion.TLSv1_1,
+    ssl.TLSVersion.TLSv1,
+]
+# remembered per-host rung so a downgraded host doesn't re-walk the
+# ladder on every request (the reference keeps it on the url job)
+_TLS_MAX: dict = {}
+
+
+def _tls_context(max_version) -> ssl.SSLContext:
+    ctx = ssl.create_default_context()
+    ctx.set_alpn_protocols(["http/1.1"])
+    if max_version != ssl.TLSVersion.MAXIMUM_SUPPORTED:
+        ctx.maximum_version = max_version
+        # pre-1.2 protocols are disabled by OpenSSL security level 2;
+        # relax so the ladder's lower rungs are actually attemptable
+        ctx.minimum_version = ssl.TLSVersion.TLSv1
+        ctx.set_ciphers("DEFAULT:@SECLEVEL=0")
+    if _DEFAULTS["insecure"]:
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    return ctx
+
+
 def _open(scheme: str, host: str, port: int, deadline: float,
           timeout_s: float):
     addrs = _resolve(host, port)
-    sock = _connect(addrs, timeout_s)
-    if scheme == "https":
-        ctx = ssl.create_default_context()
-        ctx.set_alpn_protocols(["http/1.1"])
-        if _DEFAULTS["insecure"]:
-            ctx.check_hostname = False
-            ctx.verify_mode = ssl.CERT_NONE
+    if scheme != "https":
+        return _connect(addrs, timeout_s)
+
+    start = _TLS_MAX.get(host, ssl.TLSVersion.MAXIMUM_SUPPORTED)
+    rungs = _TLS_LADDER[_TLS_LADDER.index(start):]
+    last_err: Exception = ssl.SSLError("no TLS attempt made")
+    for i, max_ver in enumerate(rungs):
+        if time.monotonic() >= deadline:
+            break
+        sock = _connect(addrs, timeout_s)
         sock.settimeout(max(0.1, deadline - time.monotonic()))
-        sock = ctx.wrap_socket(sock, server_hostname=host)
-    return sock
+        try:
+            tls = _tls_context(max_ver).wrap_socket(
+                sock, server_hostname=host
+            )
+            _TLS_MAX[host] = max_ver
+            return tls
+        except ssl.SSLCertVerificationError:
+            sock.close()
+            raise  # downgrading never fixes a bad cert (cert.c:216-351)
+        except (ssl.SSLError, TimeoutError, ConnectionError) as e:
+            sock.close()
+            last_err = e
+        except ValueError as e:
+            # this OpenSSL build refuses the rung entirely
+            sock.close()
+            last_err = ssl.SSLError(str(e))
+    if isinstance(last_err, TimeoutError):
+        last_err = ssl.SSLError("handshake timed out: %s" % last_err)
+    raise last_err
 
 
 def _read_response(sock, deadline: float, method: str = "GET") -> tuple:
@@ -112,8 +167,13 @@ def _read_response(sock, deadline: float, method: str = "GET") -> tuple:
     buf = b""
     head_end = -1
     while head_end < 0 and len(buf) < MAX_RESPONSE:
+        if time.monotonic() >= deadline:
+            return buf, False  # deadline expired: hand back the partial
         sock.settimeout(max(0.1, deadline - time.monotonic()))
-        data = sock.recv(65536)
+        try:
+            data = sock.recv(65536)
+        except TimeoutError:
+            return buf, False  # remaining-time recv timed out == deadline
         if not data:
             return buf, False
         buf += data
@@ -143,8 +203,17 @@ def _read_response(sock, deadline: float, method: str = "GET") -> tuple:
         return buf, not conn_close  # bodiless by definition
 
     def recv_more():
+        # a trickling server must not extend the fetch past the
+        # deadline: bail with b"" (callers treat it as end-of-body and
+        # return the partial buffer; the engine's elapsed>timeout check
+        # then emits the reference's timeout record)
+        if time.monotonic() >= deadline:
+            return b""
         sock.settimeout(max(0.1, deadline - time.monotonic()))
-        return sock.recv(65536)
+        try:
+            return sock.recv(65536)
+        except TimeoutError:
+            return b""
 
     if chunked:
         # walk chunk frames (size lines are positional — scanning for

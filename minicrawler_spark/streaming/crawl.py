@@ -432,6 +432,21 @@ def _make_fetch_stage(settings: dict, round_no: int):
                         return err(
                             S_HANDSHAKE - S_ERROR, "SSL handshake failed"
                         )
+                    if isinstance(e, TimeoutError):
+                        # mid-transfer socket timeout == the reference's
+                        # timeout record (state RECVREPLY), not a
+                        # connection error (crawler.c:1984 timeouting)
+                        o["outcome"] = "timeout"
+                        o["timeout_state"] = S_RECVREPLY
+                        o["timeout_reason"] = TIMEOUT_REASONS[S_RECVREPLY]
+                        o["elapsed_ms"] = max(elapsed, timeout_ms + 1)
+                        o["cookies_json"] = json.dumps(jar)
+                        o["redirect_json"] = json.dumps(chain)
+                        set_timing(
+                            o, o["elapsed_ms"], True, False,
+                            scheme == "https",
+                        )
+                        return o
                     return err(
                         S_CONNECT - S_ERROR, "Connection failed: %s" % e
                     )
@@ -700,6 +715,14 @@ def fetch_robots(hosts: DataFrame, fetcher_spec: str, settings: dict) -> DataFra
 
         fetcher = resolve_fetcher(settings["fetcher"], settings)
         agent = settings["customagent"] or DEFAULT_AGENT
+        # RFC 9309 §2.3.1.3-4: an UNREACHABLE robots.txt or a server
+        # error means the host could not serve its policy -> complete
+        # disallow. Applied only in real-network mode; the fixture web
+        # keeps the documented allow-all so deterministic fixtures that
+        # serve no robots.txt stay total (robots.py module docstring).
+        deny_all = (
+            json.dumps([[False, "/"]]) if settings.get("real_time") else "[]"
+        )
 
         def one(host, hostname, scheme):
             url = "%s://%s/robots.txt" % (scheme, host)
@@ -708,15 +731,18 @@ def fetch_robots(hosts: DataFrame, fetcher_spec: str, settings: dict) -> DataFra
                     "GET", url, {"Host": host, "User-Agent": agent}, None
                 )
             except Exception:
-                return "[]", None, -1
+                return deny_all, None, -1
             head_end = find_head_end(bytes(raw))
             if head_end is None:
-                return "[]", None, -1
+                return deny_all, None, -1
             parsed = parse_head(bytes(raw[:head_end]))
             if parsed is None:
-                return "[]", None, -1
+                return deny_all, None, -1
             status, header_list = parsed
+            if status >= 500:
+                return deny_all, None, status
             if not (200 <= status < 300):
+                # 3xx/4xx -> allow-all (RFC 9309 §2.3.1.2) in both modes
                 return "[]", None, status
             state = ResponseState("GET", "")
             dispatch_headers(state, status, header_list)

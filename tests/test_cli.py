@@ -67,3 +67,32 @@ def test_cli_subprocess_fixture_web():
     assert "URL: http://host3.test/post" in out
     assert "method=POST len=3 body=x=9" in out
     assert "Index: 0" in out and "Index: 1" in out
+
+
+def test_bare_attached_value_options_are_not_seeds():
+    """strncmp semantics (cli.c:78-79,99,101): bare '-t'/'-D'/'-p'/'-m'
+    are attached-value options with an empty value (atoi("") == 0),
+    never seed URLs; non-numeric suffixes also parse as atoi (0)."""
+    from minicrawler_spark.cli import parse_argv
+
+    seeds, kw, _, _ = parse_argv(["-t", "-D", "-p", "-m", "http://a.com/"])
+    assert [s["url"] for s in seeds] == ["http://a.com/"]
+    assert kw["timeout"] == 0
+    assert kw["delay"] == 0
+    assert kw["password"] == ""
+    assert kw["max_page_size"] == 0
+    seeds, kw, _, _ = parse_argv(["-tXY", "http://a.com/"])
+    assert kw["timeout"] == 0 and len(seeds) == 1
+
+
+def test_truncated_value_option_is_usage_error():
+    import pytest
+
+    from minicrawler_spark.cli import UsageError, parse_argv
+
+    for flag in ("-w", "-A", "-u", "-b", "-P", "-X"):
+        with pytest.raises(UsageError):
+            parse_argv(["http://a.com/", flag])
+    # -C at end of argv with a pending -w header is also truncated
+    with pytest.raises(UsageError):
+        parse_argv(["-w", "X-K: %", "-C"])

@@ -190,3 +190,197 @@ def test_stale_pooled_socket_retries_fresh(server):
     sock.close()
     r2, _ = http_fetcher("GET", server + "/ok", {"Host": "x"}, None)
     assert r2.endswith(b"plain body")
+
+
+def test_trickling_server_bounded_by_deadline():
+    """A server that dribbles bytes forever must not extend the fetch
+    past timeout_s: the fetcher returns the partial buffer at the
+    deadline (engine then emits the reference's timeout record)."""
+    import socket as _socket
+    import time as _time
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    lsock = _socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    stop = threading.Event()
+
+    def trickler():
+        conn, _ = lsock.accept()
+        conn.recv(65536)
+        conn.sendall(b"HTTP/1.1 200 OK\r\nContent-Length: 1000000\r\n\r\n")
+        while not stop.is_set():
+            try:
+                conn.sendall(b"x")
+            except OSError:
+                break
+            _time.sleep(0.05)
+        conn.close()
+
+    t = threading.Thread(target=trickler, daemon=True)
+    t.start()
+    old = dict(hf._DEFAULTS)
+    hf.configure(timeout_s=1.0)
+    try:
+        t0 = _time.monotonic()
+        raw, delay_ms = hf.http_fetcher(
+            "GET", "http://127.0.0.1:%d/slow" % port,
+            {"Host": "127.0.0.1"}, None,
+        )
+        wall = _time.monotonic() - t0
+    finally:
+        stop.set()
+        hf._DEFAULTS.update(old)
+        lsock.close()
+    assert raw.startswith(b"HTTP/1.1 200")
+    assert wall < 3.0  # 1s deadline + slack, NOT the 50000s trickle
+    assert delay_ms >= 900
+
+
+def test_tls_downgrade_ladder(monkeypatch):
+    """crawler.c:97-131: a handshake failure at the top rung retries
+    with max_proto stepped down one version; success is remembered
+    per host so the ladder is not re-walked."""
+    import ssl as _ssl
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    attempts = []
+    real_ctx = hf._tls_context
+
+    class _FakeTLS:
+        def __init__(self, sock):
+            self._sock = sock
+
+        def __getattr__(self, k):
+            return getattr(self._sock, k)
+
+    def fake_ctx(max_ver):
+        ctx = real_ctx(max_ver)
+
+        class W:
+            def wrap_socket(self, sock, server_hostname=None):
+                attempts.append(max_ver)
+                if max_ver == _ssl.TLSVersion.MAXIMUM_SUPPORTED:
+                    raise _ssl.SSLError("handshake failure (fake 1.3)")
+                return _FakeTLS(sock)
+
+        return W()
+
+    monkeypatch.setattr(hf, "_tls_context", fake_ctx)
+    hf._TLS_MAX.clear()
+
+    lsock = __import__("socket").socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(4)
+    port = lsock.getsockname()[1]
+    try:
+        import time as _time
+
+        s = hf._open("https", "127.0.0.1", port, _time.monotonic() + 5, 5.0)
+        s.close()
+        assert attempts == [
+            _ssl.TLSVersion.MAXIMUM_SUPPORTED,
+            _ssl.TLSVersion.TLSv1_2,
+        ]
+        assert hf._TLS_MAX["127.0.0.1"] == _ssl.TLSVersion.TLSv1_2
+        # second open starts at the remembered rung — no re-walk
+        s = hf._open("https", "127.0.0.1", port, _time.monotonic() + 5, 5.0)
+        s.close()
+        assert attempts[-1] == _ssl.TLSVersion.TLSv1_2
+        assert len(attempts) == 3
+    finally:
+        lsock.close()
+        hf._TLS_MAX.clear()
+
+
+def test_tls12_only_server_negotiates(tmp_path):
+    """Integration: a TLS-1.2-max loopback server is reachable (the
+    stdlib negotiates down within one handshake; the ladder is for
+    servers that abort on a 1.3 ClientHello, covered above)."""
+    import socket as _socket
+    import ssl as _ssl
+    import subprocess
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    key = tmp_path / "k.pem"
+    crt = tmp_path / "c.pem"
+    r = subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(crt), "-days", "1",
+         "-subj", "/CN=127.0.0.1"],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip("openssl CLI unavailable")
+
+    ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(crt), str(key))
+    ctx.maximum_version = _ssl.TLSVersion.TLSv1_2
+
+    lsock = _socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def serve():
+        conn, _ = lsock.accept()
+        try:
+            tls = ctx.wrap_socket(conn, server_side=True)
+            tls.recv(65536)
+            tls.sendall(
+                b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n"
+                b"Connection: close\r\n\r\nok"
+            )
+            tls.close()
+        except Exception:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    old = dict(hf._DEFAULTS)
+    hf.configure(timeout_s=5.0, insecure=True)
+    hf._TLS_MAX.clear()
+    try:
+        raw, _ = hf.http_fetcher(
+            "GET", "https://127.0.0.1:%d/" % port,
+            {"Host": "127.0.0.1"}, None,
+        )
+    finally:
+        hf._DEFAULTS.update(old)
+        hf._TLS_MAX.clear()
+        lsock.close()
+    assert raw.startswith(b"HTTP/1.1 200")
+
+
+def test_robots_5xx_denies_in_real_mode(spark):
+    """RFC 9309 §2.3.1.3-4: in real-network mode a 5xx robots.txt (or
+    an unreachable host) is a complete disallow; the fixture web keeps
+    the documented allow-all (tested in test_robots.py)."""
+
+    class R500(Handler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                self._send(503, "text/plain", b"down")
+            else:
+                Handler.do_GET(self)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), R500)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % srv.server_address[1]
+    try:
+        res = crawl(
+            spark,
+            [base + "/ok", base + "/page"],
+            CrawlSettings(real_time=True, respect_robots=True, timeout=10),
+            fetcher_spec="minicrawler_spark.sources.httpfetch:http_fetcher",
+        )
+        rows = res.collect()
+        assert {r["outcome"] for r in rows} == {"robots"}
+        assert all(r["error_msg"] == "Disallowed by robots.txt" for r in rows)
+    finally:
+        srv.shutdown()

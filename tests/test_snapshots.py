@@ -58,3 +58,31 @@ def test_crawl_rounds_are_snapshots(spark, tmp_path):
     assert latest.columns[:2] == ["index", "rawurl"]
     r1 = resume_frontier(spark, ck, 1)
     assert r1.count() > 0
+
+
+def test_recommit_same_id_does_not_cycle(spark, tmp_path):
+    """At-least-once foreachBatch can re-commit an epoch id; crawl()
+    re-run on an existing checkpoint_dir restarts round ids. Neither
+    may produce a parent chain that loops history()/expire()."""
+    from minicrawler_spark.plans.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.range(3)
+    cat.commit("t", df, 1)
+    cat.commit("t", df, 2)
+    cat.commit("t", df, 2)  # retry of epoch 2: parent stays 1, not 2
+    h = cat.history("t")
+    assert [m["snapshot_id"] for m in h] == [2, 1]
+    assert h[0]["parent_id"] == 1
+
+    # legacy cyclic chain on disk must still terminate
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(str(tmp_path), "t", "meta", "snap-2.json")
+    m = _json.load(open(meta))
+    m["parent_id"] = 2
+    _json.dump(m, open(meta, "w"))
+    h = cat.history("t")
+    assert [x["snapshot_id"] for x in h] == [2]
+    assert cat.expire("t", keep_last=1) == []

@@ -190,3 +190,32 @@ def test_dot_segment_before_query_collapses():
     for i, (u, exp) in enumerate(cases.items()):
         assert canonicalize(u)[0] == exp, u
         assert out.iloc[i]["href"] == exp, u
+
+
+def test_apostrophe_query_encodes_consistently():
+    """Regression (round-2 advice): WHATWG percent-encodes ' to %27 in
+    special-scheme QUERIES but not in paths. The fast/medium batch paths
+    must agree with the state machine or one URL gets two canonical
+    hrefs, splitting the URL-seen set."""
+    from minicrawler_spark.functions.urlnorm import (
+        canonicalize,
+        canonicalize_full,
+        canonicalize_full_batch,
+    )
+
+    cases = {
+        "http://h.example.com/p?a='1'": "http://h.example.com/p?a=%271%27",
+        # apostrophe in PATH is left verbatim (not in the path encode set)
+        "http://h.example.com/p'x/q": "http://h.example.com/p'x/q",
+        "https://h.example.com/p'?b='": "https://h.example.com/p'?b=%27",
+    }
+    out = canonicalize_full_batch(list(cases))
+    for i, (u, exp) in enumerate(cases.items()):
+        assert canonicalize(u)[0] == exp, u
+        assert canonicalize_full(u)[0] == exp, u
+        assert out.iloc[i]["href"] == exp, u
+    # relative-resolution (slow path) agrees with the absolute form
+    assert (
+        canonicalize("/p?a='1'", "http://h.example.com/")[0]
+        == "http://h.example.com/p?a=%271%27"
+    )

@@ -163,8 +163,8 @@ def build(outdir: str = DEFAULT_OUT) -> str:
         f.write(ARES_H)
     with open(os.path.join(outdir, "ares_shim.c"), "w") as f:
         f.write(ARES_C)
-    # glibc string.h conflict in the url lib (same patch as the URL
-    # oracle build in .claude/skills/verify)
+    # glibc string.h conflict in the url lib (the reference's private
+    # h/string.h shadows the system header under -I flattening)
     api_c = os.path.join(outdir, "src/url/api.c")
     with open(api_c) as f:
         src = f.read()
