@@ -1044,9 +1044,12 @@ def crawl(
 
         catalog = SnapshotCatalog(checkpoint_dir)
 
-    if settings.use_sharded_seen:
-        if checkpoint_dir is None:
-            raise ValueError("use_sharded_seen requires checkpoint_dir")
+    if settings.use_sharded_seen and checkpoint_dir is None:
+        raise ValueError("use_sharded_seen requires checkpoint_dir")
+    # the sharded bloom-sidecar filter is the DEFAULT scale path when a
+    # checkpoint_dir exists (it also makes the seen set crash-resumable);
+    # the in-memory anti-join remains for checkpoint-less runs
+    if settings.dedup and checkpoint_dir is not None:
         from ..plans.seen import SeenFilter
 
         seen_filter = SeenFilter(spark, checkpoint_dir + "/seen")
@@ -1065,16 +1068,21 @@ def crawl(
                 round_metrics["candidates"] = hashed.count()
             if seen_filter is not None:
                 novel = seen_filter.novel(hashed).localCheckpoint(eager=True)
-                seen_filter.add(novel.select("url_hash"))
+                seen_filter.add(novel.select("url_hash"), assume_novel=True)
             else:
                 if seen is not None:
                     hashed = hashed.join(seen, "url_hash", "left_anti")
                 novel = hashed
-                new_seen = novel.select("url_hash").distinct()
-                seen = (
-                    new_seen if seen is None else seen.union(new_seen).distinct()
+                # append-only seen: the batch was already anti-joined
+                # against all prior increments, so no distinct over the
+                # accumulated history is ever needed — each round only
+                # materializes ITS increment (O(batch), not O(total))
+                new_seen = (
+                    novel.select("url_hash")
+                    .distinct()
+                    .localCheckpoint(eager=True)
                 )
-                seen = seen.localCheckpoint(eager=True)
+                seen = new_seen if seen is None else seen.union(new_seen)
             if want_metrics:
                 n_novel = novel.count()
                 round_metrics["scheduled"] = n_novel
