@@ -46,6 +46,13 @@ class CrawlSettings:
                                      # (bloom-pruned parquet shards) instead
                                      # of the in-memory distinct-union;
                                      # requires checkpoint_dir
+    fetch_concurrency: int = 64      # in-flight requests per partition in
+                                     # real_time mode (the select()
+                                     # multiplexer analogue, crawler.c:
+                                     # 1809-1860: many parallel requests on
+                                     # one thread); 1 = serial. Virtual-
+                                     # clock fixture mode has no wall waits
+                                     # to overlap, so it stays serial.
 
     def as_dict(self) -> dict:
         return self.__dict__.copy()

@@ -90,8 +90,27 @@ def _connect(addrs, total_timeout: float):
     raise OSError("connect failed: %s" % (last_err or "no addresses"))
 
 
-# per-process keep-alive pool: (scheme, host, port) -> socket
+# per-process keep-alive pool: (scheme, host, port) -> [sockets].
+# The multiplexed fetch stage runs several chains per host at once
+# (crawl.py run_multiplexed), so the pool holds a small LIFO of idle
+# sockets per key; list append/pop are atomic under the GIL.
 _POOL: dict = {}
+_POOL_PER_KEY = 4
+
+
+def _pool_get(key):
+    try:
+        return _POOL[key].pop()
+    except (KeyError, IndexError):
+        return None
+
+
+def _pool_put(key, sock) -> None:
+    bucket = _POOL.setdefault(key, [])
+    if len(bucket) < _POOL_PER_KEY:
+        bucket.append(sock)
+    else:
+        sock.close()
 
 
 # TLS downgrade ladder (crawler.c:97-131 lower_ssl_protocol): on
@@ -304,7 +323,7 @@ def http_fetcher(method: str, url: str, headers: dict, body):
     raw = b""
     reusable = False
     sock = None
-    pooled = _POOL.pop(key, None)
+    pooled = _pool_get(key)
     for sock, fresh in ((pooled, False), (None, True)):
         if sock is None:
             if not fresh:
@@ -326,7 +345,7 @@ def http_fetcher(method: str, url: str, headers: dict, body):
         sock = None
     if sock is not None:
         if reusable:
-            _POOL[key] = sock
+            _pool_put(key, sock)
         else:
             sock.close()
 

@@ -338,11 +338,13 @@ def _make_fetch_stage(settings: dict, round_no: int):
         else:
             stage_t0 = None
 
-        def process(row) -> dict:
+        def process(row, wall_wait: bool = True) -> dict:
             o = base_out(row)
-            if stage_t0 is not None:
+            if wall_wait and stage_t0 is not None:
                 # wall-clock politeness: hold this job until its
-                # scheduled offset within the round
+                # scheduled offset within the round (the multiplexed
+                # path awaits this lag on the event loop instead, so a
+                # waiting job never occupies an I/O slot)
                 import time as _time
 
                 lag = stage_t0 + int(row["wait_ms"]) / 1000.0 - _time.monotonic()
@@ -618,11 +620,63 @@ def _make_fetch_stage(settings: dict, round_no: int):
             set_timing(o, elapsed, True, True, scheme == "https")
             return o
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            recs = [process(r) for r in pdf.to_dict("records")]
-            yield pd.DataFrame(recs, columns=out_cols)
+        # -- the select() multiplexer analogue (crawler.c:1809-1860) --
+        # In real_time mode each job's hop chain runs as a coroutine on
+        # one event loop per partition: politeness lags are awaited on
+        # the loop (costing no I/O slot), and up to fetch_concurrency
+        # chains are in flight at once, their blocking socket work on
+        # the loop's thread pool. K slow hosts in one partition thus
+        # complete in ~max, not ~sum, of their chains — the reference's
+        # single-thread/many-sockets property. The virtual-clock
+        # fixture mode has no wall waits to overlap and stays serial
+        # (deterministic, zero thread overhead).
+        k_inflight = int(settings.get("fetch_concurrency") or 1)
+        use_mux = bool(settings.get("real_time")) and k_inflight > 1
+        mux_pool = None
+        if use_mux:
+            from concurrent.futures import ThreadPoolExecutor
+
+            mux_pool = ThreadPoolExecutor(max_workers=k_inflight)
+
+        def run_multiplexed(rows):
+            import asyncio
+            import time as _time
+
+            async def chain(row, loop, sem):
+                if stage_t0 is not None:
+                    lag = (
+                        stage_t0 + int(row["wait_ms"]) / 1000.0
+                        - _time.monotonic()
+                    )
+                    if lag > 0:
+                        await asyncio.sleep(lag)  # schedule wait, slot-free
+                async with sem:
+                    return await loop.run_in_executor(
+                        mux_pool, process, row, False
+                    )
+
+            async def main():
+                loop = asyncio.get_running_loop()
+                sem = asyncio.Semaphore(k_inflight)
+                return await asyncio.gather(
+                    *[chain(r, loop, sem) for r in rows]
+                )
+
+            return list(asyncio.run(main()))
+
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                rows = pdf.to_dict("records")
+                if use_mux and len(rows) > 1:
+                    recs = run_multiplexed(rows)
+                else:
+                    recs = [process(r) for r in rows]
+                yield pd.DataFrame(recs, columns=out_cols)
+        finally:
+            if mux_pool is not None:
+                mux_pool.shutdown(wait=False)
 
     return fetch_stage
 

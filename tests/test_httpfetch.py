@@ -169,10 +169,10 @@ def test_keepalive_reuse(server):
     r1, _ = http_fetcher("GET", server + "/ok", {"Host": "x"}, None)
     assert r1.endswith(b"plain body")
     assert len(httpfetch._POOL) == 1
-    pooled = next(iter(httpfetch._POOL.values()))
+    pooled = next(iter(httpfetch._POOL.values()))[0]
     r2, _ = http_fetcher("GET", server + "/gzip", {"Host": "x"}, None)
     assert r2.startswith(b"HTTP/1.1 200")
-    assert next(iter(httpfetch._POOL.values())) is pooled  # same socket
+    assert next(iter(httpfetch._POOL.values()))[0] is pooled  # same socket
     # chunked framing keeps the socket clean too
     r3, _ = http_fetcher("GET", server + "/chunked", {"Host": "x"}, None)
     assert b"chunked" in r3.lower()
@@ -186,8 +186,8 @@ def test_stale_pooled_socket_retries_fresh(server):
     httpfetch._POOL.clear()
     r1, _ = http_fetcher("GET", server + "/ok", {"Host": "x"}, None)
     # kill the pooled socket behind the fetcher's back
-    key, sock = next(iter(httpfetch._POOL.items()))
-    sock.close()
+    key, bucket = next(iter(httpfetch._POOL.items()))
+    bucket[0].close()
     r2, _ = http_fetcher("GET", server + "/ok", {"Host": "x"}, None)
     assert r2.endswith(b"plain body")
 
@@ -384,3 +384,125 @@ def test_robots_5xx_denies_in_real_mode(spark):
         assert all(r["error_msg"] == "Disallowed by robots.txt" for r in rows)
     finally:
         srv.shutdown()
+
+
+def _slow_server_rows(n_hosts, per_host, sleep_s):
+    import time as _time
+
+    class Slow(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            _time.sleep(sleep_s)
+            body = b"slow body"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    servers = [
+        ThreadingHTTPServer(("127.0.0.1", 0), Slow) for _ in range(n_hosts)
+    ]
+    for srv in servers:
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    from minicrawler_spark.streaming.crawl import FRONTIER_FIELDS
+
+    rows, idx = [], 0
+    for srv in servers:
+        port = srv.server_address[1]
+        for slot in range(per_host):
+            rows.append(dict(
+                index=idx, rawurl="http://127.0.0.1:%d/%d" % (port, slot),
+                href="http://127.0.0.1:%d/%d" % (port, slot),
+                host="127.0.0.1:%d" % port, hostname="127.0.0.1",
+                scheme="http", path_query="/%d" % slot, host_seq=slot,
+                wait_ms=slot * 100, elapsed_ms=0, cookies_json="[]",
+                redirect_json="[]", method="GET", post=None,
+                authorization=None, auth_attempt=False, redirect_limit=21,
+                customheader=None, redirectedto=None, priority=0.0,
+                seq=idx, depth=0,
+            ))
+            idx += 1
+    for r in rows:
+        for f in FRONTIER_FIELDS:
+            r.setdefault(f.name, None)
+    return servers, rows
+
+
+def _run_stage(rows, **settings_kw):
+    import pandas as pd
+
+    from minicrawler_spark.streaming.crawl import _make_fetch_stage
+
+    sdict = CrawlSettings(real_time=True, timeout=30, **settings_kw).as_dict()
+    sdict["fetcher"] = "minicrawler_spark.sources.httpfetch:http_fetcher"
+    stage = _make_fetch_stage(sdict, 0)
+    return list(stage(iter([pd.DataFrame(rows)])))[0]
+
+
+def test_multiplexed_fetch_overlaps_slow_hosts():
+    """The select() analogue (crawler.c:1809-1860): K slow hosts in ONE
+    partition complete in ~max, not ~sum, of their chains. 3 loopback
+    hosts x 2 URLs, each response ~0.6s server-side: serial needs
+    >= 3.6s; the multiplexed stage finishes in ~max (0.6s + the 0.1s
+    politeness slot). Timed at the stage level — one partition's
+    mapInPandas function — so Spark job-launch overhead can't mask
+    the sum-vs-max distinction."""
+    import time as _time
+
+    servers, rows = _slow_server_rows(3, 2, 0.6)
+    try:
+        t0 = _time.monotonic()
+        out = _run_stage(rows, delay=100)
+        wall = _time.monotonic() - t0
+    finally:
+        for srv in servers:
+            srv.shutdown()
+    assert list(out["outcome"]) == ["done"] * 6
+    assert list(out["status"]) == [200] * 6
+    assert wall < 2.0, f"stage did not overlap: {wall:.2f}s (sum is 3.6s)"
+
+
+def test_fetch_concurrency_1_stays_serial():
+    """fetch_concurrency=1 disables the multiplexer (control for the
+    overlap test; also the documented escape hatch)."""
+    import time as _time
+
+    servers, rows = _slow_server_rows(3, 1, 0.4)
+    try:
+        t0 = _time.monotonic()
+        out = _run_stage(rows, delay=10, fetch_concurrency=1)
+        wall = _time.monotonic() - t0
+    finally:
+        for srv in servers:
+            srv.shutdown()
+    assert list(out["outcome"]) == ["done"] * 3
+    assert wall >= 1.2, f"serial control should be ~sum (1.2s): {wall:.2f}s"
+
+
+def test_multiplexed_crawl_end_to_end(spark):
+    """Same slow-host shape through the full crawl() driver loop:
+    results are correct and per-job elapsed_ms reflects each chain's
+    own service time, not the queue ahead of it."""
+    servers, _ = _slow_server_rows(2, 2, 0.3)
+    seeds = []
+    for srv in servers:
+        base = "http://127.0.0.1:%d" % srv.server_address[1]
+        seeds += [base + "/a", base + "/b"]
+    try:
+        res = crawl(
+            spark, seeds,
+            CrawlSettings(real_time=True, timeout=30, delay=100),
+            fetcher_spec="minicrawler_spark.sources.httpfetch:http_fetcher",
+            num_partitions=1,
+        )
+        rows = res.collect()
+    finally:
+        for srv in servers:
+            srv.shutdown()
+    assert len(rows) == 4
+    assert all(r["outcome"] == "done" and r["status"] == 200 for r in rows)
