@@ -92,7 +92,9 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_embed_near_dups(spark, sf):
-    return D.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.9)
+    # 0.45 yields rows on the synthetic tables (max off-diagonal cosine
+    # there is ~0.5); blocking is banded LSH, not the label column
+    return D.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.45)
 
 
 def q_minhash_dup_pairs(spark, sf):
@@ -483,6 +485,23 @@ def _plane_sql(i: int, dim: int = EMB_DIM) -> str:
     return "[" + ",".join("%s" % plane_component(i, d) for d in range(dim)) + "]"
 
 
+def _banded_sig_sql(bands: int = 16, band_bits: int = 4) -> str:
+    """Banded LSH keys mirroring dedup.embedding_near_dups: one select
+    per band, key = sum of sign bits, bkey = (band << band_bits) + key."""
+    selects = []
+    for b in range(bands):
+        terms = " + ".join(
+            "(case when list_dot_product(v, %s) >= 0 then %d::BIGINT "
+            "else 0 end)" % (_plane_sql(b * band_bits + j), 1 << j)
+            for j in range(band_bits)
+        )
+        selects.append(
+            "select vec_id, (%d::BIGINT + (%s)) as bkey from e"
+            % (b << band_bits, terms)
+        )
+    return "\n        union all\n        ".join(selects)
+
+
 def _lsh_sig_sql(n_planes: int = 8) -> str:
     terms = " + ".join(
         "(case when list_dot_product(v, %s) >= 0 then %d::BIGINT else 0 end)"
@@ -519,11 +538,21 @@ ORACLES = {
                   len(list_distinct(l.grams || r.grams)), 6) >= 0.5
     """ % _ngrams_sql(),
     "q_embed_near_dups": """
-      with e as (select vec_id, label, embedding::DOUBLE[] as v from embeddings)
-      select l.vec_id as vec_a, r.vec_id as vec_b, %s as cosine
-      from e l join e r on l.label = r.label and l.vec_id < r.vec_id
-      where %s >= 0.9
-    """ % (_COS, _COS),
+      with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      sig as (
+        %s
+      ),
+      cand as (
+        select distinct sl.vec_id as vec_a, sr.vec_id as vec_b
+        from sig sl join sig sr
+          on sl.bkey = sr.bkey and sl.vec_id < sr.vec_id
+      )
+      select vec_a, vec_b, %s as cosine
+      from cand
+      join e l on l.vec_id = vec_a
+      join e r on r.vec_id = vec_b
+      where %s >= 0.45
+    """ % (_banded_sig_sql(), _COS, _COS),
     "q_simhash_pairs": """
       with sigs as (%s),
       bands as (

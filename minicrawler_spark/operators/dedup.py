@@ -297,33 +297,123 @@ def word_ngram_rows(docs: DataFrame, n: int = 3, extra_cols=()) -> DataFrame:
 
 
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.995
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    bands: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label (the
-    tables carry a cluster label; at scale the block key is an IVF/LSH
-    bucket instead — see similarity.lsh_bucket_ann)."""
+    """Embedding-cosine near-duplicate pairs, blocked by banded
+    random-hyperplane LSH — no label/cluster column required (a 100 TB
+    corpus has none): each vector gets `bands` keys of `band_bits`
+    sign bits; candidates are the distinct pairs sharing any
+    (band, key); the verdict is the exact cosine >= threshold.
+
+    Scale shape: candidate generation is an equi-join on the band key
+    (work ∝ Σ bucket², never all-pairs); vectors are re-joined by id
+    for verification so the banded shuffle carries only (vec_id,
+    band, key). Recall follows the standard banding curve
+    1-(1-p^r)^b with p = 1 - θ/π; at the defaults (b=16, r=4) it is
+    1.0 for every pair >= 0.45 in the synthetic gate tables (measured)
+    and >= 99.9% for cosine >= 0.9 pairs in general.
+
+    The hyperplanes are the deterministic plane_component literals
+    (similarity.py:17-21), so the DuckDB oracle reproduces the exact
+    candidate set; dots use the order-deterministic
+    aggregate(zip_with(...)) form to keep float parity with the
+    oracle's left-to-right list_dot_product."""
+    from .similarity import hyperplanes
+
     base = embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    l, r = base.alias("l"), base.alias("r")
-    dot = F.aggregate(
-        F.zip_with("l.v", "r.v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    return (
+
+    planes = hyperplanes(bands * band_bits, dim)  # deterministic literals
+
+    def signature_stage(batches):
+        """Arrow-vectorized signature pass. The dot accumulates
+        dimension-by-dimension in index order (vectorized across rows)
+        — the same left-to-right float summation as the oracle's
+        list_dot_product, so sign bits agree to the last ulp."""
+        import numpy as np
+        import pandas as pd
+
+        W = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+        n_planes = W.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())  # (n, dim)
+            dots = np.zeros((len(pdf), n_planes))
+            for d in range(dim):
+                dots += V[:, d:d + 1] * W[:, d]
+            bits = dots >= 0  # (n, n_planes)
+            keys = np.zeros((len(pdf), bands), dtype=np.int64)
+            for b in range(bands):
+                for j in range(band_bits):
+                    keys[:, b] |= bits[:, b * band_bits + j] << j
+                keys[:, b] += b << band_bits  # band in the high bits
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy().astype(np.int64), bands
+                    ),
+                    "bkey": keys.reshape(-1),
+                }
+            )
+
+    sig = base.mapInPandas(signature_stage, "vec_id long, bkey long")
+
+    l, r = sig.alias("l"), sig.alias("r")
+    cand = (
         l.join(
             r,
-            (F.col("l.label") == F.col("r.label"))
+            (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
-        .withColumn("cosine", F.round(dot / (norm(F.col("l.v")) * norm(F.col("r.v"))), 4))
-        .filter(F.col("cosine") >= threshold)
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
-            "cosine",
+        )
+        .distinct()
+    )
+
+    va = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("lv"))
+    vb = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("rv"))
+
+    def verify_stage(batches):
+        """Exact-cosine verification, Arrow-vectorized with the same
+        left-to-right per-dimension accumulation as the oracle."""
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            L = np.stack(pdf["lv"].to_numpy())
+            R = np.stack(pdf["rv"].to_numpy())
+            dot = np.zeros(len(pdf))
+            nl = np.zeros(len(pdf))
+            nr = np.zeros(len(pdf))
+            for d in range(dim):
+                dot += L[:, d] * R[:, d]
+                nl += L[:, d] * L[:, d]
+                nr += R[:, d] * R[:, d]
+            cos = np.round(dot / (np.sqrt(nl) * np.sqrt(nr)), 4)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy().astype(np.int64)[keep],
+                    "vec_b": pdf["vec_b"].to_numpy().astype(np.int64)[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .mapInPandas(
+            verify_stage, "vec_a long, vec_b long, cosine double"
         )
     )
 

