@@ -161,7 +161,10 @@ def test_multimodal_plumbing(spark):
     )
 
     rows = [
-        ("http://x/im1.png", "image", "image/png", b"\x89PNG\r\n\x1a\nabcdef"),
+        ("http://x/im1.png", "image", "image/png",
+         _encode_png(4, 3, bytes(range(36)))),
+        # PNG signature but corrupt body: a REAL decoder reports a
+        # decode error here (the round-1 stub accepted it)
         ("http://x/im2.png", "image", "image/png", b"\x89PNG\r\n\x1a\nzzzzzz"),
         ("http://x/bad.jpg", "image", "image/jpeg", b"\xff\xd8\xff\xe0junk"),
     ]
@@ -169,8 +172,10 @@ def test_multimodal_plumbing(spark):
     out = decode_and_featurize(media)
     assert out.schema == FEATURE_SCHEMA
     got = {r["media_ref"]: r for r in out.collect()}
-    assert got["http://x/im1.png"]["width"] is not None
+    assert got["http://x/im1.png"]["width"] == 4
+    assert got["http://x/im1.png"]["height"] == 3
     assert len(bytes(got["http://x/im1.png"]["feature"])) == 64
+    assert got["http://x/im2.png"]["decode_error"] is not None
     assert got["http://x/bad.jpg"]["decode_error"] is not None
     assert got["http://x/bad.jpg"]["sha256"] is not None
     # determinism
@@ -256,3 +261,119 @@ def test_embedding_near_dups_lsh_blocked(spark):
         for i, j in zip(iu[cos[iu, ju] >= 0.4505], ju[cos[iu, ju] >= 0.4505])
     }
     assert strict <= found
+
+
+def _encode_png(width, height, pixels, filters=None, color_type=2,
+                bit_depth=8):
+    """Minimal stdlib PNG encoder for decoder tests: pixels is
+    height*width*channels bytes; `filters` picks the per-scanline
+    filter type (default all 0)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    filters = filters or [0] * height
+
+    def _filter_line(ftype, line, prev):
+        bpp = channels
+        out = bytearray(line)
+        if ftype == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                out[i] = (out[i] - line[i - bpp]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                out[i] = (out[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                out[i] = (out[i] - (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (out[i] - pr) & 0xFF
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        raw.append(filters[y])
+        raw += _filter_line(filters[y], line, prev)
+        prev = line
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_real_bytes():
+    """The PNG branch is a real decoder: IHDR dimensions come from the
+    file, and the feature is a function of the RECOVERED PIXELS — two
+    encodings of the same image with different scanline filters decode
+    to the same feature, a different image does not."""
+    from minicrawler_spark.operators.multimodal import _decode_png
+
+    w, h = 5, 4
+    pixels = bytes((x * 7 + y * 31 + c) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+    png_plain = _encode_png(w, h, pixels)
+    png_filt = _encode_png(w, h, pixels, filters=[1, 2, 3, 4])
+    assert png_plain != png_filt
+
+    w1, h1, f1 = _decode_png(png_plain)
+    w2, h2, f2 = _decode_png(png_filt)
+    assert (w1, h1) == (w, h) == (w2, h2)
+    assert f1 == f2 and len(f1) == 64
+
+    other = _encode_png(w, h, bytes(reversed(pixels)))
+    _, _, f3 = _decode_png(other)
+    assert f3 != f1
+
+    import pytest as _pytest
+
+    for bad in (b"\x89PNG\r\n\x1a\nnope", png_plain[:30],
+                png_plain.replace(b"IDAT", b"XDAT")):
+        with _pytest.raises(ValueError):
+            _decode_png(bad)
+
+
+def test_decode_and_featurize_mixed_real_and_stub(spark):
+    """The mapInPandas stage handles real PNGs, PNGSTUB oracle rows,
+    and undecodable bytes in one batch."""
+    from minicrawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+    )
+
+    png = _encode_png(3, 2, bytes(range(18)))
+    rows = [
+        ("img://real", "image", "image/png", bytearray(png)),
+        ("img://stub", "image", "image/png", bytearray(b"PNGSTUB:hello")),
+        ("img://bad", "image", "image/jpeg", bytearray(b"\xff\xd8\xff")),
+    ]
+    out = {
+        r["media_ref"]: r
+        for r in decode_and_featurize(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out["img://real"]["width"] == 3
+    assert out["img://real"]["height"] == 2
+    assert out["img://real"]["decode_error"] is None
+    assert len(out["img://real"]["feature"]) == 64
+    assert out["img://stub"]["decode_error"] is None
+    assert out["img://stub"]["width"] is not None
+    assert out["img://bad"]["width"] is None
+    assert "no decoder" in out["img://bad"]["decode_error"]
