@@ -13,9 +13,11 @@ urloptions: -C (replaces '%' in the -w header for the next URL),
 
 Differences vs the reference, by design: output records are ordered
 by seed index (the reference prints in completion order, which is
-timing-dependent); -2/-S are accepted no-ops (the engine speaks
-HTTP/1.1; TLS is controlled by the URL scheme); fetching defaults to
-the real-socket fetcher unless --fixture is passed (sandbox testing).
+timing-dependent); -S is an accepted no-op (TLS is controlled by the
+URL scheme); -2 disables HTTP/2 exactly like MCURL_OPT_DISABLE_HTTP2
+(by default ALPN offers h2 + http/1.1, sources/http2.py); fetching
+defaults to the real-socket fetcher unless --fixture is passed
+(sandbox testing).
 """
 
 from __future__ import annotations
@@ -62,8 +64,10 @@ def parse_argv(argv):
         a = argv[i]
         if a == "-v":
             pass  # debug goes to log4j, not stderr
-        elif a == "-S" or a == "-2":
-            pass  # no-ops: HTTP/1.1 engine; TLS follows the scheme
+        elif a == "-S":
+            pass  # no-op: TLS follows the URL scheme
+        elif a == "-2":
+            settings_kw["disable_http2"] = True  # MCURL_OPT_DISABLE_HTTP2
         elif a == "-h":
             writehead = True
         elif a == "-i":

@@ -40,6 +40,10 @@ class CrawlSettings:
                                      # False = virtual clock (fixtures,
                                      # deterministic tests)
     insecure: bool = False           # -k: skip TLS verification
+    disable_http2: bool = False      # -2: don't offer h2 in ALPN
+                                     # (MCURL_OPT_DISABLE_HTTP2); default
+                                     # offers h2 like the reference's
+                                     # cert.c:258
     writehead: bool = False          # -h: keep the raw reply head
     ipv6_only: bool = False          # -6: resolve AAAA only
     use_sharded_seen: bool = False   # URL-seen via plans/seen.SeenFilter

@@ -1,0 +1,492 @@
+"""Minimal HTTP/2 client — the reference's nghttp2 path
+(/root/reference/src/crawler.c:892-1290) rebuilt for the fetcher:
+pure-Python RFC 9113 framing + flow control, with HPACK delegated to
+the same libnghttp2 C library the reference links (ctypes binding of
+the public nghttp2_hd_* codec API). Like the reference's
+`#ifdef HAVE_LIBNGHTTP2`, h2 is only offered over ALPN when the
+library is present; otherwise the fetcher speaks http/1.1 only.
+
+Scope mirrors the reference exactly: one request stream at a time per
+connection (crawler.c keeps a single stream_id per job), stream ids
+1, 3, 5... on reuse, SETTINGS {MAX_CONCURRENT_STREAMS: 100} at
+session start (http2_create_session, crawler.c:1152-1156), request
+pseudo-headers :method/:scheme/:authority/:path followed by the same
+header set as genrequest (genrequest_http2, crawler.c:1181-1248).
+
+The response is synthesized into HTTP/1.1-style raw bytes —
+`HTTP/1.1 {status}\\r\\n` + `name: value\\r\\n` lines + body — exactly
+the shape the reference writes into its buffer from the h2 callbacks
+(http2_on_header_callback writes `name: value` text lines,
+crawler.c:957-965; :status feeds u->status, crawler.c:1329-1331), so
+the engine's own protocol layer (functions/httpproto.py) stays the
+single semantic authority for cookies/redirects/auth/gzip.
+
+Not implemented, by scope: server push (disabled via
+SETTINGS_ENABLE_PUSH=0), priorities, more than one concurrent stream
+per connection (the engine's concurrency comes from the fetch-stage
+multiplexer), upload bodies larger than the default 64 KiB flow
+window (the reference's POST bodies are argv-sized).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import struct
+import time
+from typing import List, Optional, Tuple
+
+__all__ = [
+    "hpack_available",
+    "HpackDecoder",
+    "HpackEncoder",
+    "H2Connection",
+    "H2Error",
+]
+
+
+class H2Error(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# HPACK via libnghttp2 (ctypes) — decode needs the full static table +
+# Huffman codes, which the C library owns authoritatively
+# ---------------------------------------------------------------------------
+
+
+class _NV(ctypes.Structure):
+    _fields_ = [
+        ("name", ctypes.POINTER(ctypes.c_uint8)),
+        ("value", ctypes.POINTER(ctypes.c_uint8)),
+        ("namelen", ctypes.c_size_t),
+        ("valuelen", ctypes.c_size_t),
+        ("flags", ctypes.c_uint8),
+    ]
+
+
+_NGHTTP2 = None
+_HD_INFLATE_FINAL = 0x01  # nghttp2.h: NGHTTP2_HD_INFLATE_FINAL
+_HD_INFLATE_EMIT = 0x02   # nghttp2.h: NGHTTP2_HD_INFLATE_EMIT
+
+
+def _load_nghttp2():
+    global _NGHTTP2
+    if _NGHTTP2 is not None:
+        return _NGHTTP2
+    name = ctypes.util.find_library("nghttp2")
+    candidates = [name] if name else []
+    candidates += ["libnghttp2.so.14", "libnghttp2.so"]
+    for cand in candidates:
+        if not cand:
+            continue
+        try:
+            lib = ctypes.CDLL(cand)
+        except OSError:
+            continue
+        try:
+            lib.nghttp2_hd_inflate_new.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p)
+            ]
+            lib.nghttp2_hd_inflate_new.restype = ctypes.c_int
+            lib.nghttp2_hd_inflate_hd2.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(_NV),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                ctypes.c_int,
+            ]
+            lib.nghttp2_hd_inflate_hd2.restype = ctypes.c_ssize_t
+            lib.nghttp2_hd_inflate_end_headers.argtypes = [ctypes.c_void_p]
+            lib.nghttp2_hd_inflate_del.argtypes = [ctypes.c_void_p]
+            lib.nghttp2_hd_deflate_new.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_size_t
+            ]
+            lib.nghttp2_hd_deflate_new.restype = ctypes.c_int
+            lib.nghttp2_hd_deflate_bound.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(_NV), ctypes.c_size_t
+            ]
+            lib.nghttp2_hd_deflate_bound.restype = ctypes.c_size_t
+            lib.nghttp2_hd_deflate_hd.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_size_t, ctypes.POINTER(_NV), ctypes.c_size_t,
+            ]
+            lib.nghttp2_hd_deflate_hd.restype = ctypes.c_ssize_t
+            lib.nghttp2_hd_deflate_del.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            continue
+        _NGHTTP2 = lib
+        return lib
+    _NGHTTP2 = False
+    return False
+
+
+def hpack_available() -> bool:
+    return bool(_load_nghttp2())
+
+
+class HpackDecoder:
+    """Streaming inflater over one connection's header blocks."""
+
+    def __init__(self):
+        lib = _load_nghttp2()
+        if not lib:
+            raise H2Error("libnghttp2 not available")
+        self._lib = lib
+        self._p = ctypes.c_void_p()
+        rv = lib.nghttp2_hd_inflate_new(ctypes.byref(self._p))
+        if rv != 0:
+            raise H2Error("nghttp2_hd_inflate_new: %d" % rv)
+
+    def decode(self, block: bytes) -> List[Tuple[bytes, bytes]]:
+        lib = self._lib
+        buf = (ctypes.c_uint8 * len(block)).from_buffer_copy(block)
+        pos, total = 0, len(block)
+        out: List[Tuple[bytes, bytes]] = []
+        nv = _NV()
+        flags = ctypes.c_int(0)
+        while True:
+            rv = lib.nghttp2_hd_inflate_hd2(
+                self._p, ctypes.byref(nv), ctypes.byref(flags),
+                ctypes.cast(
+                    ctypes.byref(buf, pos), ctypes.POINTER(ctypes.c_uint8)
+                ),
+                total - pos, 1,
+            )
+            if rv < 0:
+                raise H2Error("HPACK inflate error %d" % rv)
+            pos += rv
+            if flags.value & _HD_INFLATE_EMIT:
+                out.append(
+                    (
+                        ctypes.string_at(nv.name, nv.namelen),
+                        ctypes.string_at(nv.value, nv.valuelen),
+                    )
+                )
+            if flags.value & _HD_INFLATE_FINAL:
+                lib.nghttp2_hd_inflate_end_headers(self._p)
+                break
+            if rv == 0 and not (flags.value & _HD_INFLATE_EMIT):
+                raise H2Error("HPACK inflate stalled")
+        return out
+
+    def __del__(self):
+        try:
+            if getattr(self, "_p", None):
+                self._lib.nghttp2_hd_inflate_del(self._p)
+        except Exception:
+            pass
+
+
+class HpackEncoder:
+    """Header-block deflater (same C codec; used for requests and by
+    the test server)."""
+
+    def __init__(self, max_table: int = 4096):
+        lib = _load_nghttp2()
+        if not lib:
+            raise H2Error("libnghttp2 not available")
+        self._lib = lib
+        self._p = ctypes.c_void_p()
+        rv = lib.nghttp2_hd_deflate_new(ctypes.byref(self._p), max_table)
+        if rv != 0:
+            raise H2Error("nghttp2_hd_deflate_new: %d" % rv)
+
+    def encode(self, headers: List[Tuple[bytes, bytes]]) -> bytes:
+        lib = self._lib
+        nva = (_NV * len(headers))()
+        keep = []  # hold buffers alive through the call
+        for i, (n, v) in enumerate(headers):
+            nb = ctypes.create_string_buffer(n, len(n))
+            vb = ctypes.create_string_buffer(v, len(v))
+            keep.append((nb, vb))
+            nva[i].name = ctypes.cast(nb, ctypes.POINTER(ctypes.c_uint8))
+            nva[i].value = ctypes.cast(vb, ctypes.POINTER(ctypes.c_uint8))
+            nva[i].namelen = len(n)
+            nva[i].valuelen = len(v)
+            nva[i].flags = 0
+        bound = lib.nghttp2_hd_deflate_bound(self._p, nva, len(headers))
+        out = (ctypes.c_uint8 * bound)()
+        rv = lib.nghttp2_hd_deflate_hd(self._p, out, bound, nva, len(headers))
+        if rv < 0:
+            raise H2Error("HPACK deflate error %d" % rv)
+        return bytes(bytearray(out[:rv]))
+
+    def __del__(self):
+        try:
+            if getattr(self, "_p", None):
+                self._lib.nghttp2_hd_deflate_del(self._p)
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# RFC 9113 framing
+# ---------------------------------------------------------------------------
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+
+F_DATA = 0x0
+F_HEADERS = 0x1
+F_PRIORITY = 0x2
+F_RST_STREAM = 0x3
+F_SETTINGS = 0x4
+F_PUSH_PROMISE = 0x5
+F_PING = 0x6
+F_GOAWAY = 0x7
+F_WINDOW_UPDATE = 0x8
+F_CONTINUATION = 0x9
+
+FLAG_END_STREAM = 0x1
+FLAG_ACK = 0x1
+FLAG_END_HEADERS = 0x4
+FLAG_PADDED = 0x8
+FLAG_PRIORITY = 0x20
+
+SETTINGS_ENABLE_PUSH = 0x2
+SETTINGS_MAX_CONCURRENT_STREAMS = 0x3
+SETTINGS_INITIAL_WINDOW_SIZE = 0x4
+SETTINGS_MAX_FRAME_SIZE = 0x5
+
+DEFAULT_WINDOW = 65535
+DEFAULT_MAX_FRAME = 16384
+
+
+def pack_frame(ftype: int, flags: int, stream_id: int,
+               payload: bytes = b"") -> bytes:
+    return (
+        struct.pack(">I", len(payload))[1:]
+        + bytes((ftype, flags))
+        + struct.pack(">I", stream_id & 0x7FFFFFFF)
+        + payload
+    )
+
+
+class H2Connection:
+    """One HTTP/2 connection over an already-TLS'd (ALPN h2) socket.
+    Single in-flight stream, ids 1,3,5,... (the reference's per-job
+    session shape)."""
+
+    def __init__(self, sock):
+        self.sock = sock
+        self.decoder = HpackDecoder()
+        self.encoder = HpackEncoder()
+        self.next_stream = 1
+        self.peer_max_frame = DEFAULT_MAX_FRAME
+        self.send_window = DEFAULT_WINDOW
+        self.closed = False
+        self._buf = b""
+        self._did_handshake = False
+
+    # -- raw io --------------------------------------------------------
+
+    def _send(self, data: bytes, deadline: float) -> None:
+        self.sock.settimeout(max(0.1, deadline - time.monotonic()))
+        self.sock.sendall(data)
+
+    def _recv_frame(self, deadline: float):
+        while len(self._buf) < 9:
+            if time.monotonic() >= deadline:
+                raise TimeoutError("h2 frame header timed out")
+            self.sock.settimeout(max(0.1, deadline - time.monotonic()))
+            data = self.sock.recv(65536)
+            if not data:
+                raise H2Error("connection closed mid-frame")
+            self._buf += data
+        ln = struct.unpack(">I", b"\x00" + self._buf[:3])[0]
+        ftype, flags = self._buf[3], self._buf[4]
+        stream_id = struct.unpack(">I", self._buf[5:9])[0] & 0x7FFFFFFF
+        while len(self._buf) < 9 + ln:
+            if time.monotonic() >= deadline:
+                raise TimeoutError("h2 frame body timed out")
+            self.sock.settimeout(max(0.1, deadline - time.monotonic()))
+            data = self.sock.recv(65536)
+            if not data:
+                raise H2Error("connection closed mid-frame")
+            self._buf += data
+        payload = self._buf[9:9 + ln]
+        self._buf = self._buf[9 + ln:]
+        return ftype, flags, stream_id, payload
+
+    # -- session -------------------------------------------------------
+
+    def handshake(self, deadline: float) -> None:
+        """Preface + SETTINGS (crawler.c:1152-1160); the server's
+        SETTINGS is consumed lazily in the frame loop."""
+        settings = struct.pack(
+            ">HIHI",
+            SETTINGS_MAX_CONCURRENT_STREAMS, 100,
+            SETTINGS_ENABLE_PUSH, 0,
+        )
+        self._send(
+            PREFACE + pack_frame(F_SETTINGS, 0, 0, settings), deadline
+        )
+        self._did_handshake = True
+
+    def _handle_control(self, ftype, flags, stream_id, payload, deadline):
+        if ftype == F_SETTINGS and not (flags & FLAG_ACK):
+            for off in range(0, len(payload) - 5, 6):
+                ident, value = struct.unpack(
+                    ">HI", payload[off:off + 6]
+                )
+                if ident == SETTINGS_MAX_FRAME_SIZE:
+                    self.peer_max_frame = value
+                if ident == SETTINGS_INITIAL_WINDOW_SIZE:
+                    self.send_window = value
+            self._send(pack_frame(F_SETTINGS, FLAG_ACK, 0), deadline)
+        elif ftype == F_PING and not (flags & FLAG_ACK):
+            self._send(pack_frame(F_PING, FLAG_ACK, 0, payload), deadline)
+        elif ftype == F_GOAWAY:
+            self.closed = True
+            err = struct.unpack(">I", payload[4:8])[0] if len(payload) >= 8 else 0
+            if err != 0:
+                raise H2Error("GOAWAY error %d" % err)
+        elif ftype == F_PUSH_PROMISE:
+            # push is disabled in our SETTINGS; a server that pushes
+            # anyway violates RFC 9113 §8.4
+            raise H2Error("unexpected PUSH_PROMISE")
+
+    # -- request/response ----------------------------------------------
+
+    def request(self, method: str, scheme: str, authority: str,
+                path: str, headers: List[Tuple[str, str]],
+                body: Optional[bytes], deadline: float) -> bytes:
+        """Run one stream to completion; returns the response
+        synthesized as HTTP/1.1-style raw bytes."""
+        if not self._did_handshake:
+            self.handshake(deadline)
+        stream_id = self.next_stream
+        self.next_stream += 2
+
+        nva = [
+            (b":method", method.encode("latin-1")),
+            (b":scheme", scheme.encode("latin-1")),
+            (b":authority", authority.encode("latin-1")),
+            (b":path", path.encode("latin-1")),
+        ] + [
+            (n.lower().encode("latin-1"), v.encode("latin-1"))
+            for n, v in headers
+            # connection-specific headers are illegal in h2 (RFC 9113
+            # §8.2.2); Host became :authority
+            if n.lower() not in ("host", "connection", "keep-alive",
+                                 "transfer-encoding", "upgrade")
+        ]
+        block = self.encoder.encode(nva)
+        flags = FLAG_END_HEADERS | (0 if body else FLAG_END_STREAM)
+        frames = pack_frame(F_HEADERS, flags, stream_id, block)
+        if body:
+            mx = self.peer_max_frame
+            chunks = [body[i:i + mx] for i in range(0, len(body), mx)]
+            for i, chunk in enumerate(chunks):
+                last = i == len(chunks) - 1
+                frames += pack_frame(
+                    F_DATA, FLAG_END_STREAM if last else 0,
+                    stream_id, chunk,
+                )
+        self._send(frames, deadline)
+
+        status: Optional[int] = None
+        resp_headers: List[Tuple[bytes, bytes]] = []
+        body_parts: List[bytes] = []
+        header_frag = b""
+        in_headers = False
+        trailer_pass = False
+        while True:
+            ftype, fflags, sid, payload = self._recv_frame(deadline)
+            if in_headers:
+                if ftype != F_CONTINUATION or sid != stream_id:
+                    raise H2Error("expected CONTINUATION")
+                header_frag += payload
+                if fflags & FLAG_END_HEADERS:
+                    in_headers = False
+                    decoded = self.decoder.decode(header_frag)
+                    if not trailer_pass:
+                        status, resp_headers = self._split_status(decoded)
+                    if fflags & FLAG_END_STREAM:
+                        break
+                continue
+            if sid == 0:
+                self._handle_control(ftype, fflags, sid, payload, deadline)
+                continue
+            if sid != stream_id:
+                # stray frame for an old/pushed stream: reset it
+                if ftype not in (F_PRIORITY, F_WINDOW_UPDATE, F_RST_STREAM):
+                    self._send(
+                        pack_frame(
+                            F_RST_STREAM, 0, sid,
+                            struct.pack(">I", 0x5),  # STREAM_CLOSED
+                        ),
+                        deadline,
+                    )
+                continue
+            if ftype == F_HEADERS:
+                frag = payload
+                if fflags & FLAG_PADDED:
+                    pad = frag[0]
+                    frag = frag[1:len(frag) - pad]
+                if fflags & FLAG_PRIORITY:
+                    frag = frag[5:]
+                if fflags & FLAG_END_HEADERS:
+                    decoded = self.decoder.decode(frag)
+                    if status is None:
+                        status, resp_headers = self._split_status(decoded)
+                        # 1xx interim responses precede the real one
+                        if status is not None and 100 <= status < 200:
+                            status = None
+                            resp_headers = []
+                    else:
+                        trailer_pass = True  # trailers: decoded, dropped
+                    if fflags & FLAG_END_STREAM:
+                        break
+                else:
+                    header_frag = frag
+                    in_headers = True
+                    trailer_pass = status is not None
+            elif ftype == F_DATA:
+                frag = payload
+                if fflags & FLAG_PADDED:
+                    pad = frag[0]
+                    frag = frag[1:len(frag) - pad]
+                body_parts.append(frag)
+                if len(payload):
+                    # replenish both flow-control windows (RFC 9113
+                    # §5.2.2); the reference delegates this to nghttp2
+                    inc = struct.pack(">I", len(payload))
+                    self._send(
+                        pack_frame(F_WINDOW_UPDATE, 0, 0, inc)
+                        + pack_frame(F_WINDOW_UPDATE, 0, stream_id, inc),
+                        deadline,
+                    )
+                if fflags & FLAG_END_STREAM:
+                    break
+            elif ftype == F_RST_STREAM:
+                err = struct.unpack(">I", payload[:4])[0]
+                raise H2Error("stream reset by server (error %d)" % err)
+            # PRIORITY / WINDOW_UPDATE on our stream: ignored (single
+            # small request; uploads fit the default window by scope)
+
+        if status is None:
+            raise H2Error("stream ended without response headers")
+        head = b"HTTP/1.1 %d\r\n" % status
+        for n, v in resp_headers:
+            head += n + b": " + v + b"\r\n"
+        return head + b"\r\n" + b"".join(body_parts)
+
+    @staticmethod
+    def _split_status(decoded):
+        status = None
+        headers = []
+        for n, v in decoded:
+            if n == b":status":
+                status = int(v or b"0")
+            elif n.startswith(b":"):
+                continue
+            else:
+                headers.append((n, v))
+        return status, headers
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+        self.closed = True

@@ -44,16 +44,23 @@ from urllib.parse import urlsplit
 
 MAX_RESPONSE = 64 * 1024 * 1024  # hard cap; engine truncates at -m
 
-_DEFAULTS = {"timeout_s": 5.0, "insecure": False, "ipv6_only": False}
+_DEFAULTS = {
+    "timeout_s": 5.0,
+    "insecure": False,
+    "ipv6_only": False,
+    "disable_http2": False,
+}
 
 
 def configure(timeout_s: float = 5.0, insecure: bool = False,
-              ipv6_only: bool = False) -> None:
+              ipv6_only: bool = False,
+              disable_http2: bool = False) -> None:
     """Process-global knobs, set by the engine per fetch stage
     (resolve_fetcher passes the crawl settings through)."""
     _DEFAULTS["timeout_s"] = timeout_s
     _DEFAULTS["insecure"] = insecure
     _DEFAULTS["ipv6_only"] = ipv6_only
+    _DEFAULTS["disable_http2"] = disable_http2
 
 
 def _resolve(host: str, port: int):
@@ -128,9 +135,22 @@ _TLS_LADDER = [
 _TLS_MAX: dict = {}
 
 
+def _h2_enabled() -> bool:
+    if _DEFAULTS["disable_http2"]:
+        return False
+    from .http2 import hpack_available
+
+    # like the reference's HAVE_LIBNGHTTP2 gate: h2 is only offered
+    # when the nghttp2 HPACK codec is loadable
+    return hpack_available()
+
+
 def _tls_context(max_version) -> ssl.SSLContext:
     ctx = ssl.create_default_context()
-    ctx.set_alpn_protocols(["http/1.1"])
+    # cert.c:258 offers "h2, http/1.1"; -2 drops h2 (crawler.c:203-224)
+    ctx.set_alpn_protocols(
+        ["h2", "http/1.1"] if _h2_enabled() else ["http/1.1"]
+    )
     if max_version != ssl.TLSVersion.MAXIMUM_SUPPORTED:
         ctx.maximum_version = max_version
         # pre-1.2 protocols are disabled by OpenSSL security level 2;
@@ -319,7 +339,10 @@ def http_fetcher(method: str, url: str, headers: dict, body):
     if body:
         req += bytes(body)
 
+    from .http2 import H2Connection, H2Error
+
     key = (scheme, host, port)
+    authority = headers.get("Host") or host
     raw = b""
     reusable = False
     sock = None
@@ -329,6 +352,31 @@ def http_fetcher(method: str, url: str, headers: dict, body):
             if not fresh:
                 continue  # no pooled connection; go straight to fresh
             sock = _open(scheme, host, port, deadline, timeout_s)
+            if (
+                scheme == "https"
+                and getattr(sock, "selected_alpn_protocol", lambda: None)()
+                == "h2"
+            ):
+                sock = H2Connection(sock)
+        if isinstance(sock, H2Connection):
+            # ALPN picked h2 (crawler.c:203-224): one stream per hop,
+            # response synthesized back to HTTP/1.1-shape raw bytes
+            try:
+                raw = sock.request(
+                    method, scheme, authority, path,
+                    list(headers.items()),
+                    bytes(body) if body else None, deadline,
+                )
+                reusable = not sock.closed
+            except (H2Error, OSError) as e:
+                sock.close()
+                sock = None
+                if fresh:
+                    if isinstance(e, TimeoutError):
+                        raise
+                    raise OSError("h2: %s" % e)
+                continue  # stale pooled session; retry fresh
+            break
         try:
             sock.settimeout(max(0.1, deadline - time.monotonic()))
             sock.sendall(req)

@@ -185,6 +185,7 @@ def resolve_fetcher(spec: str, settings: Optional[dict] = None) -> Callable:
             timeout_s=settings["timeout"],
             insecure=settings["insecure"],
             ipv6_only=settings["ipv6_only"],
+            disable_http2=settings.get("disable_http2", False),
         )
     return getattr(mod, fn)
 
