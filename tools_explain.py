@@ -137,6 +137,16 @@ def main():
         if bad:
             f.write("\n**VIOLATIONS:** %s\n" % [r["query"] for r in bad])
         f.write(
+            "\nOracle-parity note (round-1 postmortem): the one red "
+            "gate row in round 1, q_done_scan, was not a plan or value "
+            "bug — DuckDB's `count_if` returns DOUBLE while Spark's "
+            "`count_if` returns BIGINT, so the driver's value hash "
+            "diverged on representation. Fixed by writing the oracle "
+            "as `count(*) filter (where ...)` (BIGINT on both "
+            "engines). Rule of thumb recorded: every oracle aggregate "
+            "must match Spark's result TYPE, not just its value.\n"
+        )
+        f.write(
             "\n<details><summary>frontier_schedule formatted plan"
             "</summary>\n\n```\n%s```\n</details>\n"
             % plans["frontier_schedule"]
