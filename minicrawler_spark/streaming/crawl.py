@@ -1088,6 +1088,7 @@ def crawl(
     seen: Optional[DataFrame] = None
     seen_filter = None
     robots_df: Optional[DataFrame] = None
+    n_frontier: Optional[int] = None
     round_no = 0
     want_metrics = report is not None or checkpoint_dir is not None
     if report is not None:
@@ -1181,9 +1182,14 @@ def crawl(
         )
         if num_partitions is None:
             parallelism = spark.sparkContext.defaultParallelism
+            # n_frontier carries over from the loop-exit count of the
+            # previous round — one driver barrier, not two
+            fcount = (
+                n_frontier if n_frontier is not None else frontier.count()
+            )
             round_parts = min(
                 parallelism,
-                max(1, (frontier.count() + carry_n) // 100 + 1),
+                max(1, (fcount + carry_n) // 100 + 1),
             )
         else:
             round_parts = num_partitions
@@ -1344,7 +1350,8 @@ def crawl(
             )
 
         round_no += 1
-        if frontier.isEmpty() and carryover is None:
+        n_frontier = frontier.count()
+        if n_frontier == 0 and carryover is None:
             break
 
     out = results[0]
