@@ -175,6 +175,17 @@ def main():
         "q_redirect_chain",
         "q_frontier_merge",
         "q_cookie_send_match",
+        "q_embed_near_dups",
+        "q_robots_gate",
+        "q_crawl_delay_schedule",
+        "q_hot_host_salt",
+        "q_multimodal_features",
+        "q_url_canonicalize",
+        # q_minhash_dup_pairs is exercised at the sf0.01 gate only: the
+        # synthetic corpus is pathologically self-similar (73% of ALL
+        # doc pairs clear jaccard 0.5 at sf0.01), so its OUTPUT is
+        # inherently quadratic at sf0.1 (~9M true pairs) — a data
+        # artifact, not an operator scale property.
     ]
     qs = entrymod.queries()
     for name in suite:
