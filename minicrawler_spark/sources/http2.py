@@ -390,6 +390,9 @@ class H2Connection:
         header_frag = b""
         in_headers = False
         trailer_pass = False
+        # END_STREAM lives on the initiating HEADERS frame (RFC 9113
+        # §6.2), so it must be remembered across CONTINUATIONs
+        headers_end_stream = False
         while True:
             ftype, fflags, sid, payload = self._recv_frame(deadline)
             if in_headers:
@@ -401,7 +404,10 @@ class H2Connection:
                     decoded = self.decoder.decode(header_frag)
                     if not trailer_pass:
                         status, resp_headers = self._split_status(decoded)
-                    if fflags & FLAG_END_STREAM:
+                        if status is not None and 100 <= status < 200:
+                            status = None
+                            resp_headers = []
+                    if headers_end_stream:
                         break
                 continue
             if sid == 0:
@@ -441,6 +447,7 @@ class H2Connection:
                     header_frag = frag
                     in_headers = True
                     trailer_pass = status is not None
+                    headers_end_stream = bool(fflags & FLAG_END_STREAM)
             elif ftype == F_DATA:
                 frag = payload
                 if fflags & FLAG_PADDED:

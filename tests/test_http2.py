@@ -76,7 +76,8 @@ class H2TestServer:
     headers) -> (status, [(name, value)], body)."""
 
     def __init__(self, tmp_path, handler, alpn=("h2", "http/1.1"),
-                 data_chunk=16384, respect_flow_window=False):
+                 data_chunk=16384, respect_flow_window=False,
+                 split_headers=False):
         key, crt = _mk_cert(tmp_path)
         self.ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         self.ctx.load_cert_chain(crt, key)
@@ -84,6 +85,7 @@ class H2TestServer:
         self.handler = handler
         self.data_chunk = data_chunk
         self.respect_flow_window = respect_flow_window
+        self.split_headers = split_headers
         self.requests = []          # [(method, path, {name: value})]
         self.streams_served = []    # stream ids, in order
         self.connections = 0
@@ -192,13 +194,23 @@ class H2TestServer:
         nva = [(b":status", str(status).encode())] + [
             (n.encode().lower(), v.encode()) for n, v in rhdrs
         ]
-        tls.sendall(
-            pack_frame(
-                F_HEADERS,
-                FLAG_END_HEADERS | (FLAG_END_STREAM if not body else 0),
-                sid, enc.encode(nva),
+        block = enc.encode(nva)
+        es = FLAG_END_STREAM if not body else 0
+        if self.split_headers and len(block) >= 2:
+            # HEADERS (no END_HEADERS, END_STREAM if bodiless) then
+            # CONTINUATION carrying the rest — RFC 9113 §6.2/§6.10
+            half = len(block) // 2
+            from minicrawler_spark.sources.http2 import F_CONTINUATION
+
+            tls.sendall(
+                pack_frame(F_HEADERS, es, sid, block[:half])
+                + pack_frame(F_CONTINUATION, FLAG_END_HEADERS, sid,
+                             block[half:])
             )
-        )
+        else:
+            tls.sendall(
+                pack_frame(F_HEADERS, FLAG_END_HEADERS | es, sid, block)
+            )
         sent = 0
         while sent < len(body):
             chunk = body[sent:sent + self.data_chunk]
@@ -394,3 +406,33 @@ def test_h2_through_crawl_engine(tmp_path, h2_env, spark):
     # both hops rode ONE h2 session (stream ids 1 and 3)
     assert srv.connections == 1
     assert srv.streams_served == [1, 3]
+
+
+def test_h2_continuation_frames(tmp_path, h2_env):
+    """Header blocks split across HEADERS+CONTINUATION decode as one
+    block, and END_STREAM is honored from the INITIATING HEADERS frame
+    (RFC 9113 6.2) for both bodiless and bodied responses."""
+    srv = H2TestServer(
+        tmp_path,
+        lambda m, p, h: (
+            (204, [("x-note", "bodiless")], b"") if p == "/nobody"
+            else (200, [("x-note", "with-body")], b"payload")
+        ),
+        split_headers=True,
+    )
+    try:
+        raw, _ = h2_env.http_fetcher(
+            "GET", "https://127.0.0.1:%d/nobody" % srv.port,
+            {"Host": "x"}, None,
+        )
+        assert raw.startswith(b"HTTP/1.1 204\r\n")
+        assert b"x-note: bodiless" in raw
+        raw2, _ = h2_env.http_fetcher(
+            "GET", "https://127.0.0.1:%d/body" % srv.port,
+            {"Host": "x"}, None,
+        )
+        assert raw2.startswith(b"HTTP/1.1 200\r\n")
+        assert raw2.endswith(b"payload")
+    finally:
+        srv.close()
+    assert srv.errors == []

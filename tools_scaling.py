@@ -145,6 +145,15 @@ def main():
             (purepy["32"] / purepy["8"]) / 4.0, 3
         ),
     }
+    # merge, don't clobber: tools_seen_scale.py owns seen_dedup_rounds
+    try:
+        with open("SCALING.json") as f:
+            prior = json.load(f)
+    except (FileNotFoundError, ValueError):
+        prior = {}
+    for k in ("seen_dedup_rounds",):
+        if k in prior:
+            result[k] = prior[k]
     with open("SCALING.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
