@@ -100,9 +100,9 @@ def crawl_stream(
     if settings.dedup:
         from ..plans.seen import SeenFilter
 
+        # the round-2 SeenFilter reloads its sidecar manifest in the
+        # constructor, so restart-resume needs no explicit refresh
         seen_filter = SeenFilter(spark, checkpoint_dir + "/seen")
-        if os.path.exists(checkpoint_dir + "/seen"):
-            seen_filter._refresh_blooms()
 
     stream = (
         spark.readStream.schema("depth INT, rawurl STRING")
@@ -153,7 +153,7 @@ def crawl_stream(
             bad = canon.filter(F.col("errkind") != "")
             hashed = valid.withColumn("url_hash", F.xxhash64("href"))
             novel = seen_filter.novel(hashed).localCheckpoint(eager=True)
-            seen_filter.add(novel.select("url_hash"))
+            seen_filter.add(novel.select("url_hash"), assume_novel=True)
             canon = novel.drop("url_hash").unionByName(bad)
 
         if settings.respect_robots:

@@ -124,3 +124,42 @@ def test_streaming_robots_gate(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_streaming_restart_resumes_seen(spark, tmp_path):
+    """Stop the stream, restart on the same checkpoint: the SeenFilter
+    reloads its sidecar manifest (round-1 code crashed here on a
+    removed private method), and re-submitted URLs are not refetched
+    while new ones are."""
+    frontier = str(tmp_path / "frontier")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    write_seeds(frontier, ["http://host0.test/page/1",
+                           "http://host1.test/page/2"])
+    settings = CrawlSettings(timeout=600, dedup=True)
+    q = crawl_stream(spark, frontier, out, ck, settings,
+                     trigger_seconds=0.5)
+    try:
+        _wait_stable(spark, out, min_rows=2)
+    finally:
+        q.stop()
+
+    first = spark.read.parquet(out)
+    n_first = first.filter("url is not null").count()
+    assert n_first == 2
+
+    # restart; re-seed one OLD url + one NEW url
+    write_seeds(frontier, ["http://host0.test/page/1",
+                           "http://host2.test/page/3"])
+    q2 = crawl_stream(spark, frontier, out, ck, settings,
+                      trigger_seconds=0.5)
+    try:
+        _wait_stable(spark, out, min_rows=n_first + 1)
+    finally:
+        q2.stop()
+
+    res = spark.read.parquet(out).filter("url is not null")
+    urls = [r["url"] for r in res.collect()]
+    assert len(urls) == len(set(urls)) == 3  # old URL skipped, new fetched
+    assert any("host2.test" in u for u in urls)
