@@ -131,6 +131,7 @@ class SeenFilter:
         # manifest: shard(str) -> {"m_bits", "n_keys", "file"}
         self._manifest: Dict[str, dict] = {}
         self._gen = 0
+        self._pending_rm: list = []
         self._load_manifest()
 
     # -- manifest ------------------------------------------------------
@@ -154,6 +155,11 @@ class SeenFilter:
         with open(tmp, "w") as f:
             json.dump({"gen": self._gen, "shards": self._manifest}, f)
         os.replace(tmp, self._manifest_path())
+        while self._pending_rm:
+            try:
+                os.remove(self._pending_rm.pop())
+            except OSError:
+                pass
 
     # -- write path ------------------------------------------------------
 
@@ -269,10 +275,12 @@ class SeenFilter:
             "m_bits": m_bits, "n_keys": n_keys, "file": fname,
         }
         if old is not None and old["file"] != fname:
-            try:
-                os.remove(os.path.join(self._blooms_dir, old["file"]))
-            except OSError:
-                pass
+            # defer the delete until the manifest referencing the NEW
+            # file is durably saved — a crash in between must leave
+            # the on-disk manifest's files readable
+            self._pending_rm.append(
+                os.path.join(self._blooms_dir, old["file"])
+            )
 
     def _rebuild_shard(self, shard: int) -> None:
         """Distributed re-derivation of one shard's bloom from its
