@@ -50,6 +50,13 @@ class CrawlSettings:
                                      # (bloom-pruned parquet shards) instead
                                      # of the in-memory distinct-union;
                                      # requires checkpoint_dir
+    politeness_by_ip: bool = False   # reference-faithful per-IP politeness:
+                                     # 64 hash slots over the 16-byte IP
+                                     # (time.c:43-96), INCLUDING collision
+                                     # semantics (two IPs in one slot share
+                                     # the channel). Default stays per-host
+                                     # (1:1 on the fixture web; documented
+                                     # round-1 deviation).
     fetch_concurrency: int = 64      # in-flight requests per partition in
                                      # real_time mode (the select()
                                      # multiplexer analogue, crawler.c:

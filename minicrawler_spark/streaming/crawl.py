@@ -964,6 +964,38 @@ def _gate_errors(df: DataFrame, round_no: int) -> Tuple[DataFrame, DataFrame]:
     return ok, errors
 
 
+def _with_ip_slot(ok: DataFrame, settings: CrawlSettings) -> DataFrame:
+    """Attach the reference's 64-entry politeness slot
+    (functions/ipslot.py): distinct hostnames resolve once per round
+    (Arrow batch; real DNS in real_time mode, the deterministic
+    fixture pseudo-IP otherwise), then join back."""
+    real_dns = bool(settings.real_time)
+
+    def stage(batches):
+        import pandas as pd
+
+        from ..functions.ipslot import resolve_slot
+
+        cache: dict = {}
+        for pdf in batches:
+            slots = []
+            for hn in pdf["hostname"]:
+                s = cache.get(hn)
+                if s is None:
+                    s = resolve_slot(hn, real_dns)
+                    cache[hn] = s
+                slots.append(s)
+            yield pd.DataFrame(
+                {"hostname": pdf["hostname"], "ip_slot": slots}
+            )
+
+    hosts = ok.select("hostname").dropDuplicates(["hostname"])
+    slot_df = hosts.mapInPandas(stage, "hostname string, ip_slot int")
+    return ok.join(slot_df, "hostname", "left").fillna(
+        0, subset=["ip_slot"]
+    )
+
+
 def crawl_round(
     pending: DataFrame,
     settings: CrawlSettings,
@@ -1004,9 +1036,21 @@ def crawl_round(
         )
     else:
         delay_col = F.lit(settings.delay).cast("long")
+    if settings.politeness_by_ip:
+        # reference-faithful per-IP channels (time.c:43-96): the WAIT
+        # rank runs over the 64-slot IP hash — colliding hosts share a
+        # channel and delay each other — while host_seq / budget /
+        # salting stay per-host (output + skew semantics)
+        ok = _with_ip_slot(ok, settings)
+        w_ip = Window.partitionBy("ip_slot").orderBy("priority", "seq")
+        wait_rank = F.row_number().over(w_ip) - F.lit(1)
+    else:
+        wait_rank = F.col("slot")
     ok = ok.withColumn("host_seq", F.col("slot") + F.col("host_count")).withColumn(
-        "wait_ms", F.col("slot").cast("long") * delay_col
+        "wait_ms", wait_rank.cast("long") * delay_col
     ).drop("host_count")
+    if settings.politeness_by_ip:
+        ok = ok.drop("ip_slot")
 
     if settings.per_host_budget > 0:
         # over-budget rows defer to the next round, keeping their
