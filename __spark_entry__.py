@@ -188,6 +188,36 @@ def q_topk_per_host(spark, sf):
     )
 
 
+def q_ip_politeness(spark, sf):
+    """Reference-faithful per-IP politeness channels (time.c:43-96 via
+    functions/ipslot.py): hosts hash into 64 slots over their (fixture
+    pseudo-)IP; colliding hosts SHARE a channel, so the wait schedule
+    ranks within the slot. The oracle reproduces the md5 pseudo-IP and
+    the exact time.c hash in SQL."""
+    from pyspark.sql.functions import pandas_udf
+
+    ev = _t(spark, sf, "events")
+    hosts = ev.select(
+        F.concat(
+            F.lit("host"), F.col("user_id").cast("string"), F.lit(".test")
+        ).alias("hostname")
+    ).distinct()
+
+    @pandas_udf("int")
+    def slot_udf(hn):
+        from minicrawler_spark.functions.ipslot import resolve_slot
+
+        return hn.map(lambda h: resolve_slot(h, False)).astype("int32")
+
+    w = Window.partitionBy("ip_slot").orderBy("hostname")
+    return (
+        hosts.withColumn("ip_slot", slot_udf("hostname"))
+        .withColumn(
+            "wait_ms", (F.row_number().over(w) - 1).cast("long") * 100
+        )
+    )
+
+
 def q_done_scan(spark, sf):
     """Done/notdone scan (crawler.c:2060-2089) as count_if."""
     orders = _t(spark, sf, "orders")
@@ -410,6 +440,7 @@ QUERIES = {
     "q_cookie_upsert": q_cookie_upsert,
     "q_seen_antijoin": q_seen_antijoin,
     "q_topk_per_host": q_topk_per_host,
+    "q_ip_politeness": q_ip_politeness,
     "q_done_scan": q_done_scan,
     "q_redirect_chain": q_redirect_chain,
     "q_frontier_merge": q_frontier_merge,
@@ -725,6 +756,30 @@ ORACLES = {
                                      order by value desc, event_id asc) as rk
         from events
       ) where rk <= 3
+    """,
+    "q_ip_politeness": """
+      with h as (select distinct 'host' || user_id::VARCHAR || '.test'
+                        as hostname from events),
+      ip as (
+        select hostname,
+               ('0x' || substr(md5('ip:' || hostname), 1, 2))::BIGINT as d0,
+               ('0x' || substr(md5('ip:' || hostname), 3, 2))::BIGINT as d1,
+               ('0x' || substr(md5('ip:' || hostname), 5, 2))::BIGINT as d2
+        from h),
+      w as (select hostname,
+                   (10 + (d0 << 8) + (d1 << 16) + (d2 << 24)) as w0
+            from ip),
+      hs as (select hostname,
+        xor(xor((13 * (((w0 >> 16) | (w0 << 16)) & 4294967295))
+                  & 4294967295,
+                (113 * (((w0 >> 20) | (w0 << 10)) & 4294967295))
+                  & 4294967295),
+            w0) % 64 as ip_slot
+        from w)
+      select hostname, ip_slot::INTEGER as ip_slot,
+             (row_number() over (partition by ip_slot
+                                 order by hostname) - 1) * 100 as wait_ms
+      from hs
     """,
     "q_done_scan": """
       select o_orderpriority,

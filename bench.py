@@ -181,6 +181,7 @@ def main():
         "q_hot_host_salt",
         "q_multimodal_features",
         "q_url_canonicalize",
+        "q_ip_politeness",
         # q_minhash_dup_pairs is exercised at the sf0.01 gate only: the
         # synthetic corpus is pathologically self-similar (73% of ALL
         # doc pairs clear jaccard 0.5 at sf0.01), so its OUTPUT is
