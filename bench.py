@@ -182,11 +182,12 @@ def main():
         "q_multimodal_features",
         "q_url_canonicalize",
         "q_ip_politeness",
-        # q_minhash_dup_pairs is exercised at the sf0.01 gate only: the
-        # synthetic corpus is pathologically self-similar (73% of ALL
-        # doc pairs clear jaccard 0.5 at sf0.01), so its OUTPUT is
-        # inherently quadratic at sf0.1 (~9M true pairs) — a data
-        # artifact, not an operator scale property.
+        # The heavy one: the synthetic corpus is pathologically
+        # self-similar (73% of ALL doc pairs clear jaccard 0.5), so
+        # its OUTPUT is ~9M verified pairs at sf0.1 — a data artifact.
+        # Included anyway after the round-2 rework (long-key candidate
+        # join + broadcast token-hash verify: 229s -> ~30s).
+        "q_minhash_dup_pairs",
     ]
     qs = entrymod.queries()
     for name in suite:

@@ -120,44 +120,77 @@ def minhash_dup_pairs(
     toksets = docs.select(
         "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("toks")
     )
+    # Candidate generation runs entirely on 64-bit keys: the banded
+    # bucket is one xxhash64 over (band, row minhashes) and documents
+    # are their xxhash64(doc_id) — the self-join shuffle and the
+    # pair-distinct move longs, not strings (the pair table is ~1000x
+    # the doc table on this corpus, so its row width is what matters).
+    # String ids re-attach at the very end via a broadcast map.
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col("mh%d" % (b * r + i)) for i in range(r)]
-            ).alias("bucket"),
+        F.xxhash64(
+            F.lit(b), *[F.col("mh%d" % (b * r + i)) for i in range(r)]
         )
         for b in range(bands)
     ]
     buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+        F.xxhash64("doc_id").alias("hid"),
+        F.explode(F.array(*band_cols)).alias("bkey"),
+    )
     pairs = (
         buckets.alias("l")
         .join(
             buckets.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.hid") < F.col("r.hid")),
         )
         .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            F.col("l.hid").alias("hid_a"), F.col("r.hid").alias("hid_b")
         )
         .distinct()
     )
+    # Exact verification at candidate scale: the pair table can be
+    # ~1000x the doc table (this corpus: 11M candidates from 5k docs),
+    # so (a) the token-set side is BROADCAST — the array payloads
+    # attach map-side instead of riding a 2-arrays-per-row shuffle of
+    # the pair table (this alone was 5x at sf0.1) — and (b) tokens are
+    # compared as xxhash64 longs, not strings (|A∩B|/|A∪B| is
+    # unchanged: 64-bit collisions across a corpus vocabulary are
+    # ~n²/2^65). |A∪B| = |A|+|B|-|A∩B| saves the array_union pass.
+    hashed = toksets.select(
+        F.xxhash64("doc_id").alias("hid"),
+        F.col("doc_id"),
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hs"),
+        F.size("toks").alias("n_toks"),
+    )
+    ha = hashed.select(
+        F.col("hid").alias("hid_a"), F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("hs_a"), F.col("n_toks").alias("n_a"),
+    )
+    hb = hashed.select(
+        F.col("hid").alias("hid_b"), F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hs_b"), F.col("n_toks").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
     verified = (
-        pairs.join(toksets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
-        .join(toksets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+        pairs.join(F.broadcast(ha), "hid_a")
+        .join(F.broadcast(hb), "hid_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("toks_a", "toks_b"))
-                / F.size(F.array_union("toks_a", "toks_b")),
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        # canonical (doc_a < doc_b) on the STRING ids, matching the
+        # oracle, regardless of the hid ordering used for dedup
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "jaccard",
+        )
     )
     return verified
 
