@@ -218,6 +218,32 @@ def q_ip_politeness(spark, sf):
     )
 
 
+def q_host_sessions(spark, sf):
+    """The custom stateful streaming operator's fold (streaming/
+    stateful.py host_session_stats) on its batch mirror: per-host
+    pages/errors/bytes plus an ITERATIVE EMA of latency. The oracle
+    reproduces the same iterative EMA with DuckDB's list_reduce in the
+    same (seq) order, so the float ops match step for step."""
+    from minicrawler_spark.streaming.stateful import host_session_stats
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        F.concat(
+            F.lit("host"), F.col("user_id").cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.col("event_type").alias("outcome"),
+        (F.col("event_id") % 1000).cast("long").alias("content_length"),
+        (F.col("event_id") % 500).cast("long").alias("elapsed_ms"),
+        F.lit(0).cast("int").alias("round"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    return host_session_stats(rows).select(
+        "host", "n_pages", "n_errors", "total_bytes",
+        F.round("ema_elapsed_ms", 6).alias("ema_elapsed_ms"),
+        "last_elapsed_ms",
+    )
+
+
 def q_done_scan(spark, sf):
     """Done/notdone scan (crawler.c:2060-2089) as count_if."""
     orders = _t(spark, sf, "orders")
@@ -441,6 +467,7 @@ QUERIES = {
     "q_seen_antijoin": q_seen_antijoin,
     "q_topk_per_host": q_topk_per_host,
     "q_ip_politeness": q_ip_politeness,
+    "q_host_sessions": q_host_sessions,
     "q_done_scan": q_done_scan,
     "q_redirect_chain": q_redirect_chain,
     "q_frontier_merge": q_frontier_merge,
@@ -756,6 +783,25 @@ ORACLES = {
                                      order by value desc, event_id asc) as rk
         from events
       ) where rk <= 3
+    """,
+    "q_host_sessions": """
+      with r as (
+        select 'host' || user_id::VARCHAR || '.test' as host,
+               event_type as outcome,
+               (event_id % 1000)::BIGINT as content_length,
+               (event_id % 500)::BIGINT as elapsed_ms,
+               event_id::BIGINT as seq
+        from events)
+      select host,
+             count(*) as n_pages,
+             count(*) filter (where outcome in
+                              ('error','timeout','robots')) as n_errors,
+             sum(content_length)::BIGINT as total_bytes,
+             round(list_reduce(list(elapsed_ms::DOUBLE order by seq),
+                               (a, b) -> 0.75*a + 0.25*b), 6)
+               as ema_elapsed_ms,
+             last(elapsed_ms order by seq) as last_elapsed_ms
+      from r group by host
     """,
     "q_ip_politeness": """
       with h as (select distinct 'host' || user_id::VARCHAR || '.test'
