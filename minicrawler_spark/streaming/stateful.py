@@ -123,17 +123,56 @@ def host_session_stats(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
 
-    # batch mirror of the same fold (state starts empty, no timeouts)
-    def batch_fold(pdf):
+    # Batch mirror of the same fold (state starts empty, no
+    # timeouts). One mapInPandas pass over a host-partitioned frame
+    # with a SINGLE pandas groupby per Arrow batch — not one pandas
+    # frame per host (1500 hosts at sf0.1 made that 1500 tiny-frame
+    # constructions); counts/sums vectorize in C, only the EMA
+    # recursion walks each group's (already sorted) value array.
+    def batch_stage(batches):
+        import numpy as np
         import pandas as pd
 
-        host = pdf["host"].iloc[0]
-        n_pages, n_errors, total_bytes, ema, last = fold(
-            iter([pdf]), (0, 0, 0, None, None)
-        )
-        return pd.DataFrame(
-            [[host, n_pages, n_errors, total_bytes, ema, last, False]],
-            columns=[f.name for f in SESSION_SCHEMA.fields],
-        )
+        err_set = {"error", "timeout", "robots"}
+        # a host's rows can span several Arrow batches of the same
+        # partition: concat the partition (its hosts are complete
+        # here thanks to the repartition) before grouping
+        parts = [pdf for pdf in batches if len(pdf)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            pdf = pdf.sort_values(["host", "round", "seq"])
+            pdf["content_length"] = pdf["content_length"].fillna(0)
+            pdf["elapsed_ms"] = pdf["elapsed_ms"].fillna(0)
+            pdf["_err"] = pdf["outcome"].isin(err_set)
+            g = pdf.groupby("host", sort=False)
+            agg = g.agg(
+                n_pages=("outcome", "size"),
+                n_errors=("_err", "sum"),
+                total_bytes=("content_length", "sum"),
+                last_elapsed_ms=("elapsed_ms", "last"),
+            )
+            emas = []
+            for _, vals in g["elapsed_ms"]:
+                ema = None
+                for e in vals.to_numpy():
+                    e = float(e or 0)
+                    ema = (
+                        e if ema is None
+                        else (1 - _EMA_ALPHA) * ema + _EMA_ALPHA * e
+                    )
+                emas.append(ema)
+            yield pd.DataFrame(
+                {
+                    "host": agg.index,
+                    "n_pages": agg["n_pages"].to_numpy(np.int64),
+                    "n_errors": agg["n_errors"].to_numpy(np.int64),
+                    "total_bytes": agg["total_bytes"].to_numpy(np.int64),
+                    "ema_elapsed_ms": emas,
+                    "last_elapsed_ms": agg["last_elapsed_ms"].to_numpy(
+                        np.int64
+                    ),
+                    "closed": False,
+                }
+            )
 
-    return src.groupBy("host").applyInPandas(batch_fold, SESSION_SCHEMA)
+    return src.repartition("host").mapInPandas(batch_stage, SESSION_SCHEMA)
