@@ -436,3 +436,80 @@ def test_h2_continuation_frames(tmp_path, h2_env):
     finally:
         srv.close()
     assert srv.errors == []
+
+
+def test_h2_gzip_body_through_engine(tmp_path, h2_env, spark):
+    """Content-Encoding: gzip over h2: the engine's own protocol layer
+    gunzips the synthesized response exactly as it does for h1."""
+    import gzip as _gzip
+
+    from minicrawler_spark.config import CrawlSettings
+    from minicrawler_spark.streaming.crawl import crawl
+
+    payload = b"compressed over http/2"
+    srv = H2TestServer(
+        tmp_path,
+        lambda m, p, h: (
+            200,
+            [("content-encoding", "gzip"), ("content-type", "text/plain")],
+            _gzip.compress(payload),
+        ),
+    )
+    try:
+        res = crawl(
+            spark, ["https://127.0.0.1:%d/z" % srv.port],
+            CrawlSettings(real_time=True, timeout=30, insecure=True,
+                          gzip=True),
+            fetcher_spec="minicrawler_spark.sources.httpfetch:http_fetcher",
+            num_partitions=1,
+        )
+        r = res.collect()[0]
+    finally:
+        srv.close()
+    assert srv.errors == []
+    assert r["status"] == 200
+    assert bytes(r["body"]) == payload
+    assert srv.requests[0][2].get("accept-encoding") == "gzip"
+
+
+def test_h2_goaway_maps_to_error(tmp_path, h2_env):
+    """A GOAWAY with an error code mid-stream surfaces as an OSError
+    (engine maps it to the Connection-failed record), not a hang."""
+    import socket as _socket
+    import ssl as _ssl
+    import struct as _struct
+
+    key, crt = _mk_cert(tmp_path)
+    ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(crt, key)
+    ctx.set_alpn_protocols(["h2"])
+    lsock = _socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def serve():
+        conn, _ = lsock.accept()
+        tls = ctx.wrap_socket(conn, server_side=True)
+        buf = b""
+        while len(buf) < len(PREFACE):
+            buf += tls.recv(4096)
+        tls.sendall(pack_frame(F_SETTINGS, 0, 0, b""))
+        tls.recv(65536)  # their SETTINGS/HEADERS
+        # GOAWAY: last-stream-id 0, error ENHANCE_YOUR_CALM (0xb)
+        tls.sendall(
+            pack_frame(F_GOAWAY, 0, 0, _struct.pack(">II", 0, 0xB))
+        )
+        tls.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(OSError) as ei:
+            h2_env.http_fetcher(
+                "GET", "https://127.0.0.1:%d/x" % port,
+                {"Host": "x"}, None,
+            )
+        assert "GOAWAY" in str(ei.value)
+    finally:
+        lsock.close()
