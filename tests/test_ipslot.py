@@ -134,3 +134,57 @@ def test_by_ip_same_host_still_serializes(spark):
         spark, seeds, CrawlSettings(timeout=600, politeness_by_ip=True)
     ).collect()
     assert sorted(r["downstart"] for r in res) == [0, 100]
+
+
+def test_real_dns_shared_ip_shares_channel(spark):
+    """Real-DNS mode: hostnames resolving to the SAME IP land in the
+    same slot (the reference's behavior on loopback fixtures, where
+    every 'host' is 127.0.0.1: one IP, one channel, globally spaced
+    requests). 'localhost' and '127.0.0.1' both resolve to 127.0.0.1
+    on this box."""
+    import socket
+
+    a = resolve_slot("localhost", True)
+    b = resolve_slot("127.0.0.1", True)
+    if socket.gethostbyname("localhost") != "127.0.0.1":
+        pytest.skip("localhost does not resolve to 127.0.0.1 here")
+    assert a == b == time_slot(ip16("127.0.0.1"))
+
+    # and the wait schedule serializes the two "hosts" end to end:
+    # both slots ranked in ONE channel -> waits 0/delay, while the
+    # default per-host mode would start both at 0
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Ok(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            body = b"ok"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Ok)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        res = crawl(
+            spark,
+            ["http://localhost:%d/a" % port,
+             "http://127.0.0.1:%d/b" % port],
+            CrawlSettings(real_time=True, timeout=30, delay=300,
+                          politeness_by_ip=True),
+            fetcher_spec="minicrawler_spark.sources.httpfetch:http_fetcher",
+            num_partitions=1,
+        )
+        rows = res.collect()
+    finally:
+        srv.shutdown()
+    assert all(r["outcome"] == "done" for r in rows)
+    assert sorted(r["downstart"] for r in rows) == [0, 300]
