@@ -110,11 +110,30 @@ def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
 
 
 def minhash_dup_pairs(
-    docs: DataFrame, k: int = 16, bands: int = 8, threshold: float = 0.7
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.7,
+    broadcast_verify: bool | None = None,
+    broadcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Banded LSH near-dup candidates verified by exact token-set
     Jaccard. bands of r = k/bands rows; a pair is a candidate when any
-    band agrees; verification keeps jaccard >= threshold."""
+    band agrees; verification keeps jaccard >= threshold.
+
+    The verification join is SIZE-GATED (the one place a 100 TB corpus
+    could kill the plan): when the (doc_id, token-hash array) table is
+    estimated under `broadcast_verify` bytes it is broadcast (the pair
+    table is often ~1000x the doc table, so attaching arrays map-side
+    beats shuffling them — measured 5x at sf0.1); above the threshold
+    the token-hash side is first LEFT-SEMI restricted to doc ids that
+    actually appear in candidate pairs (candidate docs << corpus in
+    real dedup) and then shuffle-hash joined, so the full corpus's
+    arrays never ride a shuffle and nothing is driver-collected.
+    `broadcast_verify=None` (default) estimates the size with one
+    cheap count/sum agg over `docs` at plan-build time; pass
+    True/False to force a path (both produce identical results —
+    tests/test_operators.py pins equality)."""
     r = k // bands
     sigs = minhash_signatures(docs, k)
     toksets = docs.select(
@@ -148,20 +167,40 @@ def minhash_dup_pairs(
         )
         .distinct()
     )
-    # Exact verification at candidate scale: the pair table can be
-    # ~1000x the doc table (this corpus: 11M candidates from 5k docs),
-    # so (a) the token-set side is BROADCAST — the array payloads
-    # attach map-side instead of riding a 2-arrays-per-row shuffle of
-    # the pair table (this alone was 5x at sf0.1) — and (b) tokens are
-    # compared as xxhash64 longs, not strings (|A∩B|/|A∪B| is
-    # unchanged: 64-bit collisions across a corpus vocabulary are
-    # ~n²/2^65). |A∪B| = |A|+|B|-|A∩B| saves the array_union pass.
+    # Exact verification at candidate scale: tokens are compared as
+    # xxhash64 longs, not strings (|A∩B|/|A∪B| is unchanged: 64-bit
+    # collisions across a corpus vocabulary are ~n²/2^65), and
+    # |A∪B| = |A|+|B|-|A∩B| saves the array_union pass.
     hashed = toksets.select(
         F.xxhash64("doc_id").alias("hid"),
         F.col("doc_id"),
         F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hs"),
         F.size("toks").alias("n_toks"),
     )
+
+    if broadcast_verify is None:
+        # One cheap scan of docs (count + token sum), no joins: an
+        # upper bound on the token-hash table — 8 B per hash + ~56 B
+        # of row/offset overhead per doc. Fires at plan-build time.
+        est = docs.select(
+            F.count("*").alias("n"),
+            F.sum(F.size(tokenize(F.col("text")))).alias("toks"),
+        ).first()
+        est_bytes = int(est["toks"] or 0) * 8 + int(est["n"] or 0) * 56
+        broadcast_verify = est_bytes <= broadcast_max_bytes
+
+    if not broadcast_verify:
+        # Large-corpus path: pairs feed both the id-restriction and
+        # the verification join — localCheckpoint so the LSH self-join
+        # is computed once, not per consumer.
+        pairs = pairs.localCheckpoint(eager=False)
+        cand_ids = (
+            pairs.select(F.col("hid_a").alias("hid"))
+            .union(pairs.select(F.col("hid_b").alias("hid")))
+            .distinct()
+        )
+        hashed = hashed.join(cand_ids, "hid", "left_semi")
+
     ha = hashed.select(
         F.col("hid").alias("hid_a"), F.col("doc_id").alias("id_a"),
         F.col("hs").alias("hs_a"), F.col("n_toks").alias("n_a"),
@@ -170,10 +209,16 @@ def minhash_dup_pairs(
         F.col("hid").alias("hid_b"), F.col("doc_id").alias("id_b"),
         F.col("hs").alias("hs_b"), F.col("n_toks").alias("n_b"),
     )
+    if broadcast_verify:
+        ha, hb = F.broadcast(ha), F.broadcast(hb)
+    else:
+        # build the per-partition hash map from the (restricted)
+        # token side, never sort the array payloads
+        ha, hb = ha.hint("shuffle_hash"), hb.hint("shuffle_hash")
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     verified = (
-        pairs.join(F.broadcast(ha), "hid_a")
-        .join(F.broadcast(hb), "hid_b")
+        pairs.join(ha, "hid_a")
+        .join(hb, "hid_b")
         .withColumn("inter", inter)
         .withColumn(
             "jaccard",

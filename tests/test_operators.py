@@ -57,6 +57,42 @@ def test_minhash_estimates_jaccard(spark):
             assert len({sig_by_id[i] for i in ids}) == 1
 
 
+def test_minhash_dup_pairs_verify_paths_identical(spark):
+    """The size-gated verification join must be a pure physical-plan
+    choice: the forced shuffle-hash path (what a 100 TB corpus takes)
+    and the broadcast path (small corpora) produce identical pairs."""
+    from minicrawler_spark.operators.dedup import minhash_dup_pairs
+
+    d = docs(spark)
+    bc = minhash_dup_pairs(d, threshold=0.5, broadcast_verify=True)
+    sh = minhash_dup_pairs(d, threshold=0.5, broadcast_verify=False)
+    # the non-broadcast plan must actually semi-restrict + shuffle-hash
+    # (no BroadcastHashJoin on the verification step)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    got_bc = sorted(map(tuple, bc.collect()))
+    got_sh = sorted(map(tuple, sh.collect()))
+    assert got_bc == got_sh
+    assert len(got_bc) > 0
+
+
+def test_minhash_dup_pairs_auto_gate_estimates(spark):
+    """broadcast_verify=None picks by the cheap size estimate: a tiny
+    threshold forces the shuffle-hash path, a huge one broadcasts."""
+    from minicrawler_spark.operators.dedup import minhash_dup_pairs
+
+    d = docs(spark).limit(60)
+    small = minhash_dup_pairs(d, threshold=0.5, broadcast_max_bytes=1)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    big = minhash_dup_pairs(d, threshold=0.5, broadcast_max_bytes=1 << 40)
+    plan_b = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, big.collect())
+    )
+
+
 def test_ngram_jaccard_pairs_symmetric_bounded(spark):
     from minicrawler_spark.operators.dedup import ngram_jaccard_pairs
 
