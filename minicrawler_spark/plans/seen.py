@@ -41,14 +41,16 @@ an existing checkpoint resumes exactly (crawl --resume path).
 
 from __future__ import annotations
 
+import io
 import json
 import os
-import uuid
 from typing import Dict, Optional, Tuple
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .sidecar_fs import fs_for
 
 __all__ = ["SeenFilter"]
 
@@ -101,15 +103,17 @@ def _test_bits(bits: np.ndarray, hashes_u64: np.ndarray, k: int,
     return ok
 
 
-# executor-local cache of sidecar bitsets; file names are immutable
-# (generation-stamped), so a plain name-keyed dict is sound
+# executor-local cache of sidecar bitsets; file names are immutable —
+# _write_shard bumps the generation for EVERY write and stamps m_bits
+# into the name, so a name can never be re-published with different
+# content and a plain name-keyed dict is sound
 _BLOOM_CACHE: Dict[str, np.ndarray] = {}
 
 
-def _load_bloom(path: str) -> np.ndarray:
+def _load_bloom(fs, path: str) -> np.ndarray:
     bits = _BLOOM_CACHE.get(path)
     if bits is None:
-        bits = np.load(path)
+        bits = np.load(io.BytesIO(fs.read_bytes(path)))
         if len(_BLOOM_CACHE) > 64:  # bound executor memory
             _BLOOM_CACHE.clear()
         _BLOOM_CACHE[path] = bits
@@ -119,14 +123,22 @@ def _load_bloom(path: str) -> np.ndarray:
 class SeenFilter:
     def __init__(self, spark: SparkSession, path: str, n_shards: int = 16,
                  bloom_bits_per_key: int = 10,
-                 initial_shard_bits: int = 1 << 23):
+                 initial_shard_bits: int = 1 << 23, fs=None):
         self.spark = spark
         self.path = path
         self.n_shards = n_shards
         self.bits_per_key = bloom_bits_per_key
         # k ≈ 0.7·(m/n) minimizes fpp; 10 bits/key, k=7 -> fpp ≈ 0.8%
         self.k = max(2, int(round(0.7 * bloom_bits_per_key)))
-        self.initial_shard_bits = initial_shard_bits
+        # _bloom_indexes masks with m_bits-1, so m_bits MUST be a
+        # power of two — round any other request up rather than
+        # silently mis-probing
+        self.initial_shard_bits = 1 << max(6, int(initial_shard_bits - 1)
+                                           .bit_length())
+        # sidecar storage: picklable FS (ships in the probe UDF
+        # closure); defaults by URL scheme — POSIX paths stay local,
+        # s3://... routes through fsspec
+        self.fs = fs if fs is not None else fs_for(path)
         self._blooms_dir = os.path.join(path, "_blooms")
         # manifest: shard(str) -> {"m_bits", "n_keys", "file"}
         self._manifest: Dict[str, dict] = {}
@@ -141,23 +153,24 @@ class SeenFilter:
 
     def _load_manifest(self) -> None:
         try:
-            with open(self._manifest_path()) as f:
-                d = json.load(f)
+            d = json.loads(self.fs.read_bytes(self._manifest_path()))
             self._manifest = d["shards"]
             self._gen = d["gen"]
-        except (FileNotFoundError, KeyError, ValueError):
+        except (OSError, KeyError, ValueError):
             self._manifest = {}
             self._gen = 0
 
     def _save_manifest(self) -> None:
-        os.makedirs(self._blooms_dir, exist_ok=True)
-        tmp = self._manifest_path() + ".tmp-%s" % uuid.uuid4().hex[:8]
-        with open(tmp, "w") as f:
-            json.dump({"gen": self._gen, "shards": self._manifest}, f)
-        os.replace(tmp, self._manifest_path())
+        self.fs.makedirs(self._blooms_dir)
+        self.fs.write_bytes_atomic(
+            self._manifest_path(),
+            json.dumps(
+                {"gen": self._gen, "shards": self._manifest}
+            ).encode(),
+        )
         while self._pending_rm:
             try:
-                os.remove(self._pending_rm.pop())
+                self.fs.remove(self._pending_rm.pop())
             except OSError:
                 pass
 
@@ -228,7 +241,6 @@ class SeenFilter:
         if not delta_rows:
             return
 
-        self._gen += 1
         grow = []
         for row in delta_rows:
             s = int(row["shard"])
@@ -239,9 +251,9 @@ class SeenFilter:
                 n_keys = 0
             else:
                 m_bits = int(meta["m_bits"])
-                bits = np.load(
+                bits = np.load(io.BytesIO(self.fs.read_bytes(
                     os.path.join(self._blooms_dir, meta["file"])
-                ).copy()
+                ))).copy()
                 n_keys = int(meta["n_keys"])
             if row["kind"] == "sparse":
                 arr = np.frombuffer(row["payload"], dtype=np.uint64)
@@ -263,13 +275,18 @@ class SeenFilter:
 
     def _write_shard(self, shard: int, bits: np.ndarray, m_bits: int,
                      n_keys: int) -> None:
-        os.makedirs(self._blooms_dir, exist_ok=True)
-        fname = "shard%05d-g%08d.npy" % (shard, self._gen)
-        tmp = os.path.join(
-            self._blooms_dir, ".tmp-%s" % uuid.uuid4().hex[:8]
+        self.fs.makedirs(self._blooms_dir)
+        # EVERY write gets a fresh generation and stamps m_bits, so a
+        # grow-rebuild in the same add() can never re-publish a name
+        # an executor (or a concurrent reader of the previous
+        # manifest) may have cached with the old size
+        self._gen += 1
+        fname = "shard%05d-g%08d-m%d.npy" % (shard, self._gen, m_bits)
+        buf = io.BytesIO()
+        np.save(buf, bits)
+        self.fs.write_bytes_atomic(
+            os.path.join(self._blooms_dir, fname), buf.getvalue()
         )
-        np.save(tmp, bits)
-        os.replace(tmp + ".npy", os.path.join(self._blooms_dir, fname))
         old = self._manifest.get(str(shard))
         self._manifest[str(shard)] = {
             "m_bits": m_bits, "n_keys": n_keys, "file": fname,
@@ -335,6 +352,7 @@ class SeenFilter:
         }
         n_shards = self.n_shards
         k = self.k
+        fs = self.fs  # picklable — ships to executors in the closure
 
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import BooleanType
@@ -351,7 +369,7 @@ class SeenFilter:
                 if entry is None:
                     continue
                 path, m_bits = entry
-                bits = _load_bloom(path)
+                bits = _load_bloom(fs, path)
                 m = shards == shard
                 out[m] = _test_bits(bits, hs[m].view(np.uint64), k, m_bits)
             return pd.Series(out)

@@ -101,6 +101,105 @@ def test_seen_filter_resume_from_manifest(spark, tmp_path):
     assert sf2.novel(_hashed(spark, range(400, 600))).count() == 100
 
 
+class _SlowShimFS:
+    """Latency-injecting 'remote' sidecar FS: LocalFS semantics, but
+    every call ticks an op counter and refuses the POSIX shortcuts
+    (no open()/np.load path can bypass it — seen.py only sees the
+    interface). Picklable, like a real object-store client; the
+    executor-side probe path goes through __getstate__."""
+
+    def __init__(self, delay=0.002):
+        self.delay = delay
+        self.ops = {"read": 0, "write": 0, "rm": 0, "mkdir": 0}
+        self.written = []  # atomic-publish log (path per write)
+
+    def _tick(self, kind):
+        import time
+
+        self.ops[kind] += 1
+        time.sleep(self.delay)
+
+    def read_bytes(self, path):
+        self._tick("read")
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes_atomic(self, path, data):
+        import uuid
+
+        self._tick("write")
+        self.written.append(path)
+        tmp = os.path.join(
+            os.path.dirname(path), ".tmp-%s" % uuid.uuid4().hex[:8]
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def remove(self, path):
+        self._tick("rm")
+        os.remove(path)
+
+    def makedirs(self, path):
+        self._tick("mkdir")
+        os.makedirs(path, exist_ok=True)
+
+    def __getstate__(self):
+        # counters stay driver-side; executors get a fresh shim
+        return {"delay": self.delay}
+
+    def __setstate__(self, state):
+        self.__init__(state["delay"])
+
+
+def test_seen_filter_through_remote_fs_shim(spark, tmp_path):
+    """VERDICT r2 #2: sidecar I/O must be routable off POSIX. Full
+    add/novel/growth-rebuild/resume cycle through the latency shim,
+    including the executor probe path (the UDF closure pickles the
+    shim)."""
+    path = str(tmp_path / "seen")
+    shim = _SlowShimFS()
+    sf = SeenFilter(spark, path, n_shards=2, initial_shard_bits=1024,
+                    fs=shim)
+    sf.add(_hashed(spark, range(1000)))  # forces a growth rebuild too
+    assert shim.ops["write"] > 0 and shim.ops["read"] > 0
+    novel = sf.novel(_hashed(spark, range(900, 1100)))
+    got = sorted(r[0] for r in novel.select("url_hash").collect())
+    assert got == list(range(1000, 1100))
+    # resume through the same abstraction
+    sf2 = SeenFilter(spark, path, n_shards=2, fs=_SlowShimFS())
+    assert sf2.count == 1000
+    assert sf2.novel(_hashed(spark, range(1000))).count() == 0
+
+
+def test_sidecar_names_never_republished(spark, tmp_path):
+    """ADVICE r2: a grow-rebuild inside one add() must never reuse a
+    filename already written under the same generation (executor
+    caches key by name). Every atomic publish targets a fresh name,
+    and names carry m_bits."""
+    path = str(tmp_path / "seen")
+    shim = _SlowShimFS(delay=0)
+    sf = SeenFilter(spark, path, n_shards=2, initial_shard_bits=1024,
+                    fs=shim)
+    sf.add(_hashed(spark, range(1000)))   # write + rebuild same add()
+    sf.add(_hashed(spark, range(1000, 1200)))
+    shard_writes = [p for p in shim.written if "shard" in os.path.basename(p)]
+    assert len(shard_writes) == len(set(shard_writes)), shard_writes
+    for p in shard_writes:
+        assert "-m" in os.path.basename(p)
+
+
+def test_initial_shard_bits_rounded_to_power_of_two(spark, tmp_path):
+    """ADVICE r2: a non-power-of-two initial_shard_bits must not
+    mis-probe (the index mask assumes 2^n)."""
+    sf = SeenFilter(spark, str(tmp_path / "seen"), n_shards=2,
+                    initial_shard_bits=10_000_000)
+    assert sf.initial_shard_bits == 1 << 24
+    sf2 = SeenFilter(spark, str(tmp_path / "seen2"), n_shards=2,
+                     initial_shard_bits=1024)
+    assert sf2.initial_shard_bits == 1024
+
+
 def test_add_assume_novel_skips_reprobe(spark, tmp_path):
     path = str(tmp_path / "seen")
     sf = SeenFilter(spark, path, n_shards=2)
