@@ -272,9 +272,17 @@ class H2Connection:
         self.encoder = HpackEncoder()
         self.next_stream = 1
         self.peer_max_frame = DEFAULT_MAX_FRAME
-        self.send_window = DEFAULT_WINDOW
+        # send-side flow control (RFC 9113 §5.2): the connection
+        # window starts at 65535 and moves only via WINDOW_UPDATE on
+        # stream 0; each stream starts at the peer's
+        # SETTINGS_INITIAL_WINDOW_SIZE (changes retro-adjust the
+        # active stream, §6.9.2)
+        self.send_window = DEFAULT_WINDOW          # connection-level
+        self.initial_stream_window = DEFAULT_WINDOW
+        self.stream_send_window = DEFAULT_WINDOW   # active stream
         self.closed = False
         self._buf = b""
+        self._pending: list = []  # frames read while awaiting window
         self._did_handshake = False
 
     # -- raw io --------------------------------------------------------
@@ -331,8 +339,16 @@ class H2Connection:
                 if ident == SETTINGS_MAX_FRAME_SIZE:
                     self.peer_max_frame = value
                 if ident == SETTINGS_INITIAL_WINDOW_SIZE:
-                    self.send_window = value
+                    # retro-adjust the active stream's window by the
+                    # delta (RFC 9113 §6.9.2)
+                    delta = value - self.initial_stream_window
+                    self.initial_stream_window = value
+                    self.stream_send_window += delta
             self._send(pack_frame(F_SETTINGS, FLAG_ACK, 0), deadline)
+        elif ftype == F_WINDOW_UPDATE and stream_id == 0:
+            if len(payload) >= 4:
+                inc = struct.unpack(">I", payload[:4])[0] & 0x7FFFFFFF
+                self.send_window += inc
         elif ftype == F_PING and not (flags & FLAG_ACK):
             self._send(pack_frame(F_PING, FLAG_ACK, 0, payload), deadline)
         elif ftype == F_GOAWAY:
@@ -344,6 +360,24 @@ class H2Connection:
             # push is disabled in our SETTINGS; a server that pushes
             # anyway violates RFC 9113 §8.4
             raise H2Error("unexpected PUSH_PROMISE")
+
+    def _wait_for_window(self, stream_id: int, deadline: float) -> None:
+        """Block until a WINDOW_UPDATE opens send capacity (or the
+        deadline trips inside _recv_frame). Response/stray frames that
+        arrive first queue for the response loop."""
+        while (min(self.send_window, self.stream_send_window) <= 0):
+            ftype, fflags, sid, payload = self._recv_frame(deadline)
+            if ftype == F_WINDOW_UPDATE and sid == stream_id:
+                if len(payload) >= 4:
+                    inc = struct.unpack(">I", payload[:4])[0] & 0x7FFFFFFF
+                    self.stream_send_window += inc
+            elif sid == 0:
+                self._handle_control(ftype, fflags, sid, payload, deadline)
+            elif ftype == F_RST_STREAM and sid == stream_id:
+                err = struct.unpack(">I", payload[:4])[0]
+                raise H2Error("stream reset by server (error %d)" % err)
+            else:
+                self._pending.append((ftype, fflags, sid, payload))
 
     # -- request/response ----------------------------------------------
 
@@ -372,17 +406,31 @@ class H2Connection:
         ]
         block = self.encoder.encode(nva)
         flags = FLAG_END_HEADERS | (0 if body else FLAG_END_STREAM)
-        frames = pack_frame(F_HEADERS, flags, stream_id, block)
+        self.stream_send_window = self.initial_stream_window
+        self._send(pack_frame(F_HEADERS, flags, stream_id, block), deadline)
         if body:
-            mx = self.peer_max_frame
-            chunks = [body[i:i + mx] for i in range(0, len(body), mx)]
-            for i, chunk in enumerate(chunks):
-                last = i == len(chunks) - 1
-                frames += pack_frame(
-                    F_DATA, FLAG_END_STREAM if last else 0,
-                    stream_id, chunk,
+            # DATA respects BOTH send windows (RFC 9113 §5.2): when
+            # exhausted, block on the peer's WINDOW_UPDATE (response
+            # frames arriving meanwhile queue for the loop below)
+            off = 0
+            while off < len(body):
+                avail = min(self.send_window, self.stream_send_window)
+                if avail <= 0:
+                    self._wait_for_window(stream_id, deadline)
+                    continue
+                n = min(avail, self.peer_max_frame, len(body) - off)
+                chunk = body[off:off + n]
+                off += n
+                self._send(
+                    pack_frame(
+                        F_DATA,
+                        FLAG_END_STREAM if off == len(body) else 0,
+                        stream_id, chunk,
+                    ),
+                    deadline,
                 )
-        self._send(frames, deadline)
+                self.send_window -= n
+                self.stream_send_window -= n
 
         status: Optional[int] = None
         resp_headers: List[Tuple[bytes, bytes]] = []
@@ -394,7 +442,10 @@ class H2Connection:
         # §6.2), so it must be remembered across CONTINUATIONs
         headers_end_stream = False
         while True:
-            ftype, fflags, sid, payload = self._recv_frame(deadline)
+            if self._pending:
+                ftype, fflags, sid, payload = self._pending.pop(0)
+            else:
+                ftype, fflags, sid, payload = self._recv_frame(deadline)
             if in_headers:
                 if ftype != F_CONTINUATION or sid != stream_id:
                     raise H2Error("expected CONTINUATION")
@@ -468,8 +519,11 @@ class H2Connection:
             elif ftype == F_RST_STREAM:
                 err = struct.unpack(">I", payload[:4])[0]
                 raise H2Error("stream reset by server (error %d)" % err)
-            # PRIORITY / WINDOW_UPDATE on our stream: ignored (single
-            # small request; uploads fit the default window by scope)
+            elif ftype == F_WINDOW_UPDATE:
+                if len(payload) >= 4:
+                    inc = struct.unpack(">I", payload[:4])[0] & 0x7FFFFFFF
+                    self.stream_send_window += inc
+            # PRIORITY on our stream: ignored
 
         if status is None:
             raise H2Error("stream ended without response headers")

@@ -131,8 +131,24 @@ _TLS_LADDER = [
     ssl.TLSVersion.TLSv1,
 ]
 # remembered per-host rung so a downgraded host doesn't re-walk the
-# ladder on every request (the reference keeps it on the url job)
+# ladder on every hop (the reference keeps it on the url job,
+# crawler.c u->ssl_options — alive for that job's redirect chain).
+# Entries EXPIRE after _TLS_MAX_TTL_S: a transient handshake failure
+# (e.g. injected RST/truncation) must not pin a host to an old TLS
+# version for the process lifetime. Values: (max_version, expiry).
 _TLS_MAX: dict = {}
+_TLS_MAX_TTL_S = 300.0
+
+
+def _tls_rung_get(host):
+    entry = _TLS_MAX.get(host)
+    if entry is None:
+        return ssl.TLSVersion.MAXIMUM_SUPPORTED
+    max_ver, expiry = entry
+    if time.monotonic() >= expiry:
+        del _TLS_MAX[host]
+        return ssl.TLSVersion.MAXIMUM_SUPPORTED
+    return max_ver
 
 
 def _h2_enabled() -> bool:
@@ -153,10 +169,13 @@ def _tls_context(max_version) -> ssl.SSLContext:
     )
     if max_version != ssl.TLSVersion.MAXIMUM_SUPPORTED:
         ctx.maximum_version = max_version
-        # pre-1.2 protocols are disabled by OpenSSL security level 2;
-        # relax so the ladder's lower rungs are actually attemptable
-        ctx.minimum_version = ssl.TLSVersion.TLSv1
-        ctx.set_ciphers("DEFAULT:@SECLEVEL=0")
+        if max_version < ssl.TLSVersion.TLSv1_2:
+            # pre-1.2 protocols/ciphers are disabled at the default
+            # OpenSSL security level; relax ONLY for the legacy rungs
+            # so they are attemptable — the TLS1.2 rung keeps the
+            # default security settings
+            ctx.minimum_version = ssl.TLSVersion.TLSv1
+            ctx.set_ciphers("DEFAULT:@SECLEVEL=0")
     if _DEFAULTS["insecure"]:
         ctx.check_hostname = False
         ctx.verify_mode = ssl.CERT_NONE
@@ -169,7 +188,7 @@ def _open(scheme: str, host: str, port: int, deadline: float,
     if scheme != "https":
         return _connect(addrs, timeout_s)
 
-    start = _TLS_MAX.get(host, ssl.TLSVersion.MAXIMUM_SUPPORTED)
+    start = _tls_rung_get(host)
     rungs = _TLS_LADDER[_TLS_LADDER.index(start):]
     last_err: Exception = ssl.SSLError("no TLS attempt made")
     for i, max_ver in enumerate(rungs):
@@ -181,12 +200,21 @@ def _open(scheme: str, host: str, port: int, deadline: float,
             tls = _tls_context(max_ver).wrap_socket(
                 sock, server_hostname=host
             )
-            _TLS_MAX[host] = max_ver
+            if max_ver != ssl.TLSVersion.MAXIMUM_SUPPORTED:
+                _TLS_MAX[host] = (
+                    max_ver, time.monotonic() + _TLS_MAX_TTL_S
+                )
             return tls
         except ssl.SSLCertVerificationError:
             sock.close()
             raise  # downgrading never fixes a bad cert (cert.c:216-351)
-        except (ssl.SSLError, TimeoutError, ConnectionError) as e:
+        except (ssl.SSLError, TimeoutError) as e:
+            # the reference walks the ladder on SSL protocol errors
+            # (incl. unexpected EOF, crawler.c:256-296) and handshake
+            # timeouts (crawler.c:1888-1896); plain TCP errors (RST,
+            # refused) are SSL_ERROR_SYSCALL there -> hard failure,
+            # NOT a downgrade signal — an injected reset must not
+            # walk us down the ladder
             sock.close()
             last_err = e
         except ValueError as e:

@@ -285,15 +285,85 @@ def test_tls_downgrade_ladder(monkeypatch):
             _ssl.TLSVersion.MAXIMUM_SUPPORTED,
             _ssl.TLSVersion.TLSv1_2,
         ]
-        assert hf._TLS_MAX["127.0.0.1"] == _ssl.TLSVersion.TLSv1_2
+        assert hf._TLS_MAX["127.0.0.1"][0] == _ssl.TLSVersion.TLSv1_2
         # second open starts at the remembered rung — no re-walk
         s = hf._open("https", "127.0.0.1", port, _time.monotonic() + 5, 5.0)
         s.close()
         assert attempts[-1] == _ssl.TLSVersion.TLSv1_2
         assert len(attempts) == 3
+        # ADVICE r2: the rung EXPIRES — a transient failure must not
+        # pin the host below max for the process lifetime
+        hf._TLS_MAX["127.0.0.1"] = (
+            _ssl.TLSVersion.TLSv1_2, _time.monotonic() - 1
+        )
+        assert hf._tls_rung_get("127.0.0.1") == (
+            _ssl.TLSVersion.MAXIMUM_SUPPORTED
+        )
+        assert "127.0.0.1" not in hf._TLS_MAX
     finally:
         lsock.close()
         hf._TLS_MAX.clear()
+
+
+def test_tcp_reset_does_not_walk_tls_ladder(monkeypatch):
+    """ADVICE r2: plain TCP errors during the handshake are hard
+    failures (reference: SSL_ERROR_SYSCALL -> error state), never a
+    downgrade signal — an attacker-injected RST must not pin the host
+    to a legacy TLS version."""
+    import ssl as _ssl
+    import time as _time
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    attempts = []
+    real_ctx = hf._tls_context
+
+    def fake_ctx(max_ver):
+        real_ctx(max_ver)
+
+        class W:
+            def wrap_socket(self, sock, server_hostname=None):
+                attempts.append(max_ver)
+                raise ConnectionResetError("injected RST")
+
+        return W()
+
+    monkeypatch.setattr(hf, "_tls_context", fake_ctx)
+    hf._TLS_MAX.clear()
+
+    lsock = __import__("socket").socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(4)
+    port = lsock.getsockname()[1]
+    try:
+        with pytest.raises(ConnectionResetError):
+            hf._open("https", "127.0.0.1", port, _time.monotonic() + 5, 5.0)
+        assert attempts == [_ssl.TLSVersion.MAXIMUM_SUPPORTED]
+        assert hf._TLS_MAX == {}
+    finally:
+        lsock.close()
+        hf._TLS_MAX.clear()
+
+
+def test_tls12_rung_keeps_default_security_level(monkeypatch):
+    """Only the legacy (<1.2) rungs relax to SECLEVEL=0; the TLS1.2
+    rung keeps the default cipher security settings."""
+    import ssl as _ssl
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    seen = []
+    real_set = _ssl.SSLContext.set_ciphers
+
+    def spy(self, spec):
+        seen.append(spec)
+        return real_set(self, spec)
+
+    monkeypatch.setattr(_ssl.SSLContext, "set_ciphers", spy)
+    hf._tls_context(_ssl.TLSVersion.TLSv1_2)
+    assert seen == []
+    hf._tls_context(_ssl.TLSVersion.TLSv1)
+    assert seen == ["DEFAULT:@SECLEVEL=0"]
 
 
 def test_tls12_only_server_negotiates(tmp_path):
