@@ -58,18 +58,17 @@ def fixture_ip(hostname: str) -> str:
 
 
 def resolve_slot(hostname: str, real_dns: bool) -> int:
-    """hostname -> politeness slot. Real mode resolves A-first like
-    the fetcher (httpfetch._resolve); fixture mode derives the
-    deterministic pseudo-IP."""
+    """hostname -> politeness slot. Real mode shares the fetcher's
+    cached resolution (httpfetch.resolved_ip) so the slot keys on the
+    SAME first-choice IP the connector dials — one getaddrinfo per
+    host per TTL, never a second independent lookup that round-robin
+    DNS could send elsewhere. Fixture mode (and an unresolvable host,
+    whose fetch will fail with its own error anyway) derives the
+    deterministic pseudo-IP for a stable slot."""
     if real_dns:
-        try:
-            infos = socket.getaddrinfo(
-                hostname, None, type=socket.SOCK_STREAM
-            )
-            v4 = [i for i in infos if i[0] == socket.AF_INET]
-            chosen = (v4 or infos)[0][4][0]
-        except OSError:
-            chosen = fixture_ip(hostname)  # unresolvable: stable slot
+        from ..sources.httpfetch import resolved_ip
+
+        chosen = resolved_ip(hostname) or fixture_ip(hostname)
     else:
         chosen = fixture_ip(hostname)
     return time_slot(ip16(chosen))

