@@ -2,9 +2,10 @@
 (/root/reference/src/crawler.c:892-1290) rebuilt for the fetcher:
 pure-Python RFC 9113 framing + flow control, with HPACK delegated to
 the same libnghttp2 C library the reference links (ctypes binding of
-the public nghttp2_hd_* codec API). Like the reference's
-`#ifdef HAVE_LIBNGHTTP2`, h2 is only offered over ALPN when the
-library is present; otherwise the fetcher speaks http/1.1 only.
+the public nghttp2_hd_* codec API) when the shared library is
+loadable, and to the pure-Python RFC 7541 codec (hpack_py.py)
+otherwise — so unlike the reference's `#ifdef HAVE_LIBNGHTTP2`
+build gate, h2 stays available on every deployment.
 
 Scope mirrors the reference exactly: one request stream at a time per
 connection (crawler.c keeps a single stream_id per job), stream ids
@@ -24,8 +25,7 @@ single semantic authority for cookies/redirects/auth/gzip.
 Not implemented, by scope: server push (disabled via
 SETTINGS_ENABLE_PUSH=0), priorities, more than one concurrent stream
 per connection (the engine's concurrency comes from the fetch-stage
-multiplexer), upload bodies larger than the default 64 KiB flow
-window (the reference's POST bodies are argv-sized).
+multiplexer).
 """
 
 from __future__ import annotations
@@ -35,6 +35,12 @@ import ctypes.util
 import struct
 import time
 from typing import List, Optional, Tuple
+
+from .hpack_py import (
+    HpackError as _HpackError,
+    PyHpackDecoder as _PyHpackDecoder,
+    PyHpackEncoder as _PyHpackEncoder,
+)
 
 __all__ = [
     "hpack_available",
@@ -121,10 +127,43 @@ def _load_nghttp2():
 
 
 def hpack_available() -> bool:
-    return bool(_load_nghttp2())
+    """h2 is always offerable: HPACK comes from libnghttp2 (ctypes)
+    when the shared library is present — the codec the reference
+    links — with the pure-Python RFC 7541 codec (hpack_py.py) as the
+    fallback, so a deployment without libnghttp2.so no longer loses
+    h2 silently."""
+    return True
 
 
-class HpackDecoder:
+def HpackDecoder():
+    """Pick the HPACK inflater: libnghttp2 when loadable, else the
+    pure-Python RFC 7541 implementation."""
+    if _load_nghttp2():
+        return _NgHpackDecoder()
+    return _PyHpackDecoderAdapter()
+
+
+def HpackEncoder():
+    if _load_nghttp2():
+        return _NgHpackEncoder()
+    return _PyHpackEncoder()
+
+
+class _PyHpackDecoderAdapter:
+    """hpack_py decoder surfacing malformed blocks as H2Error (what
+    the connection layer and the fetcher's fallback path expect)."""
+
+    def __init__(self):
+        self._d = _PyHpackDecoder()
+
+    def decode(self, block: bytes) -> List[Tuple[bytes, bytes]]:
+        try:
+            return self._d.decode(block)
+        except _HpackError as e:
+            raise H2Error("HPACK: %s" % e)
+
+
+class _NgHpackDecoder:
     """Streaming inflater over one connection's header blocks."""
 
     def __init__(self):
@@ -177,7 +216,7 @@ class HpackDecoder:
             pass
 
 
-class HpackEncoder:
+class _NgHpackEncoder:
     """Header-block deflater (same C codec; used for requests and by
     the test server)."""
 
