@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (north-rule addition). The Spark-side plumbing — schemas,
-Arrow batch shapes, partitioning — is real and tested, and PNG decode
-is REAL (stdlib-only: IHDR header parse, chunk walk, zlib inflate,
-scanline unfilter — _decode_png). Other codecs (JPEG/WebP, audio,
-video) would plug in at the _decode_image dispatch seam via
-PIL/pyvips, which are not in this container; the deterministic
-'PNGSTUB:' branch remains for cross-engine oracle tests.
+Arrow batch shapes, partitioning — is real and tested, and the two
+dominant web image types decode for REAL, stdlib-only: PNG (IHDR
+parse, chunk walk, zlib inflate, scanline unfilter — _decode_png)
+and JPEG (SOF0/SOF2 marker walk for dimensions + scan digest —
+_decode_jpeg). Other codecs (WebP/AVIF, audio, video) would plug in
+at the _decode_image dispatch seam via PIL/pyvips, which are not in
+this container; the deterministic 'PNGSTUB:' branch remains for
+cross-engine oracle tests.
 """
 
 from __future__ import annotations
@@ -145,6 +147,63 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+# every SOFn marker that carries frame dimensions (ITU T.81 §B.2.2):
+# baseline/extended/progressive/lossless + their arithmetic variants
+_SOF_MARKERS = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def _decode_jpeg(data: bytes):
+    """Real JPEG header decode, stdlib only: walk the marker segments
+    to the SOF frame header (ITU T.81 §B.2.2) for width/height —
+    SOF0 baseline and SOF2 progressive cover the web — then digest
+    the entropy-coded scan as the 64-byte content feature (the
+    featurizer seam; full IDCT pixel recovery is out of scope).
+    Raises ValueError on malformed input like a real codec."""
+    import struct
+
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    dims = None
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync at offset %d" % pos)
+        # optional fill bytes before the marker code (§B.1.1.2)
+        while data[pos + 1] == 0xFF and pos + 2 < len(data):
+            pos += 1
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("JPEG truncated segment header")
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError("JPEG truncated segment")
+        if marker in _SOF_MARKERS:
+            if seglen < 8:
+                raise ValueError("JPEG SOF segment too short")
+            height, width = struct.unpack(">HH", data[pos + 5:pos + 9])
+            if width == 0 or height == 0:
+                raise ValueError("JPEG zero dimensions")
+            dims = (width, height)
+        if marker == 0xDA:  # SOS — entropy-coded data follows
+            if dims is None:
+                raise ValueError("JPEG SOS before SOF")
+            scan = data[pos + 2 + seglen:]
+            if not scan:
+                raise ValueError("JPEG empty scan")
+            feature = hashlib.sha256(scan).digest() * 2  # 64 bytes
+            return dims[0], dims[1], feature
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF/SOS")
+
+
 def _decode_image_stub(data: bytes):
     """Deterministic fake decode for the ASCII 'PNGSTUB:' magic used
     by cross-engine oracle tests (the DuckDB sha256 only takes
@@ -158,16 +217,19 @@ def _decode_image_stub(data: bytes):
 
 
 def _decode_image(data: bytes):
-    """Dispatch: real PNG bytes take the stdlib codec; the PNGSTUB
-    oracle magic takes the deterministic stub; anything else is a
-    decode error (NotImplementedError marks the seam where other
-    codecs — JPEG/WebP via PIL/pyvips — would plug in)."""
+    """Dispatch on magic bytes: PNG and JPEG (the two dominant web
+    image types) take the stdlib codecs; the PNGSTUB oracle magic
+    takes the deterministic stub; anything else is a decode error
+    (NotImplementedError marks the seam where further codecs —
+    WebP/AVIF via PIL/pyvips — would plug in)."""
     if data.startswith(_PNG_SIG):
         return _decode_png(data)
+    if data[0:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
     if data.startswith(b"PNGSTUB:"):
         return _decode_image_stub(data)
     raise NotImplementedError(
-        "no decoder for this magic (PNG and PNGSTUB supported)"
+        "no decoder for this magic (PNG, JPEG and PNGSTUB supported)"
     )
 
 
