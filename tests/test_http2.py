@@ -86,7 +86,8 @@ class H2TestServer:
         self.data_chunk = data_chunk
         self.respect_flow_window = respect_flow_window
         self.split_headers = split_headers
-        self.requests = []          # [(method, path, {name: value})]
+        self.requests = []          # h2 path [(method, path, {n: v})]
+        self.h1_requests = []       # http/1.1 fallback path
         self.streams_served = []    # stream ids, in order
         self.connections = 0
         self.errors = []
@@ -119,17 +120,16 @@ class H2TestServer:
     # -- server loop ---------------------------------------------------
 
     def _serve(self):
-        while not self._stop.is_set():
-            try:
-                conn, _ = self.lsock.accept()
-            except OSError:
-                return
+        # thread-per-connection: the engine's mux opens several h1
+        # keep-alive sockets concurrently (the h2 path rides one
+        # session, but must not be blocked by a lingering h1 socket)
+        def one(conn):
             try:
                 tls = self.ctx.wrap_socket(conn, server_side=True)
                 self.connections += 1
                 if tls.selected_alpn_protocol() != "h2":
                     self._serve_h1(tls)
-                    continue
+                    return
                 self._serve_h2(tls)
             except Exception as e:  # surface in the test, don't hang
                 self.errors.append(repr(e))
@@ -138,15 +138,55 @@ class H2TestServer:
                 except OSError:
                     pass
 
+        while not self._stop.is_set():
+            try:
+                conn, _ = self.lsock.accept()
+            except OSError:
+                return
+            threading.Thread(target=one, args=(conn,), daemon=True).start()
+
     def _serve_h1(self, tls):
-        req = tls.recv(65536)
-        if req:
-            body = b"h1 fallback"
-            tls.sendall(
-                b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n"
-                b"Connection: close\r\n\r\n%s" % (len(body), body)
-            )
-        tls.close()
+        """Handler-driven HTTP/1.1 with keep-alive, so the SAME
+        scenarios serve over both protocols (h1/h2 parity tests)."""
+        buf = b""
+        try:
+            while True:
+                while b"\r\n\r\n" not in buf:
+                    d = tls.recv(65536)
+                    if not d:
+                        return
+                    buf += d
+                head, _, buf = buf.partition(b"\r\n\r\n")
+                lines = head.decode("latin-1").split("\r\n")
+                method, path, _ = lines[0].split(" ", 2)
+                hdrs = {}
+                for ln in lines[1:]:
+                    if ":" in ln:
+                        k, v = ln.split(":", 1)
+                        hdrs[k.strip().lower()] = v.strip()
+                need = int(hdrs.get("content-length", "0"))
+                while len(buf) < need:
+                    d = tls.recv(65536)
+                    if not d:
+                        return
+                    buf += d
+                buf = buf[need:]
+                self.h1_requests.append((method, path, hdrs))
+                status, rhdrs, body = self.handler(method, path, hdrs)
+                out = b"HTTP/1.1 %d X\r\n" % status
+                names = {n.lower() for n, _ in rhdrs}
+                for n, v in rhdrs:
+                    out += ("%s: %s\r\n" % (n, v)).encode("latin-1")
+                if "content-length" not in names:
+                    out += b"Content-Length: %d\r\n" % len(body)
+                tls.sendall(out + b"\r\n" + body)
+        except (ConnectionError, OSError, ssl.SSLError):
+            return
+        finally:
+            try:
+                tls.close()
+            except OSError:
+                pass
 
     def _serve_h2(self, tls):
         assert self._read_exact(tls, len(PREFACE)) == PREFACE
@@ -364,8 +404,9 @@ def test_h2_disabled_falls_back_to_h1(tmp_path, h2_env):
         )
     finally:
         srv.close()
-    assert raw.endswith(b"h1 fallback")
+    assert raw.endswith(b"via h2")
     assert srv.requests == []  # never reached the h2 path
+    assert [(m, p) for m, p, _ in srv.h1_requests] == [("GET", "/x")]
 
 
 def test_h2_through_crawl_engine(tmp_path, h2_env, spark):
@@ -406,6 +447,133 @@ def test_h2_through_crawl_engine(tmp_path, h2_env, spark):
     # both hops rode ONE h2 session (stream ids 1 and 3)
     assert srv.connections == 1
     assert srv.streams_served == [1, 3]
+
+
+def _scenario_handler(method, path, headers):
+    """12 httpbin-style scenarios served identically over h1.1 and h2
+    (content-length always explicit so the header set is identical on
+    both wires)."""
+    import gzip as _gzip
+
+    def ok(status, hdrs, body):
+        return status, hdrs + [("content-length", str(len(body)))], body
+
+    if path == "/plain":
+        return ok(200, [("content-type", "text/plain")], b"plain body here")
+    if path == "/doc.html":
+        doc = (b"<html><head><title>T</title></head><body>"
+               b"<h1>Head&iacute;ng</h1><p>para with "
+               b"<a href='/linked'>a link</a> &amp; more</p>"
+               b"<img src='/i.png'>tail</body></html>")
+        return ok(200, [("content-type", "text/html")], doc)
+    if path.startswith("/redirect/"):
+        n = int(path.rsplit("/", 1)[1])
+        loc = "/plain" if n <= 1 else "/redirect/%d" % (n - 1)
+        return ok(302, [("location", loc)], b"")
+    if path == "/cookies":
+        return ok(302, [("set-cookie", "alpha=1; Path=/"),
+                        ("set-cookie", "beta=two; Path=/"),
+                        ("location", "/cookie-check")], b"")
+    if path == "/cookie-check":
+        got = headers.get("cookie", "")
+        return ok(200, [("content-type", "text/plain")],
+                  ("ck:%s" % got).encode())
+    if path == "/gzip":
+        gz = _gzip.compress(b"the gzipped payload", mtime=0)
+        return ok(200, [("content-type", "text/plain"),
+                        ("content-encoding", "gzip")], gz)
+    if path == "/refresh":
+        return ok(200, [("content-type", "text/plain"),
+                        ("refresh", "0;url=/plain")], b"interim")
+    if path == "/charset":
+        return ok(200, [("content-type", "text/html; charset=iso-8859-1")],
+                  b"<html><body>caf\xe9 latin</body></html>")
+    if path == "/auth":
+        return ok(401, [("www-authenticate", 'Basic realm="secrets"')],
+                  b"denied")
+    if path == "/big":
+        return ok(200, [("content-type", "text/plain")],
+                  b"0123456789abcdef" * 6000)  # 96 KB: h2 multi-DATA
+    if path == "/empty":
+        return ok(204, [], b"")
+    return ok(404, [("content-type", "text/plain")], b"not here")
+
+
+_SCENARIO_PATHS = [
+    "/plain", "/doc.html", "/redirect/3", "/cookies", "/cookie-check",
+    "/gzip", "/refresh", "/charset", "/auth", "/big", "/empty",
+    "/missing",
+]
+
+
+def test_h1_h2_full_record_parity(tmp_path, h2_env, spark):
+    """VERDICT r2 #10: the same fixture served over h1.1 and h2 must
+    produce EQUAL logical records through the engine — status, body,
+    spans, links, cookies, redirect chains, charset, auth fields — so
+    h2 stays semantically pinned as the protocol layer evolves. Two
+    server instances (separate ports) prevent keep-alive pool
+    cross-talk between the runs."""
+    from minicrawler_spark.config import CrawlSettings
+    from minicrawler_spark.streaming.crawl import crawl
+
+    def run(disable_http2):
+        srv = H2TestServer(tmp_path, _scenario_handler)
+        origin = "https://127.0.0.1:%d" % srv.port
+        try:
+            res = crawl(
+                spark,
+                [origin + p for p in _SCENARIO_PATHS],
+                CrawlSettings(real_time=True, timeout=60, insecure=True,
+                              disable_http2=disable_http2, delay=10),
+                fetcher_spec=(
+                    "minicrawler_spark.sources.httpfetch:http_fetcher"
+                ),
+                num_partitions=1,
+            )
+            rows = {r["index"]: r for r in res.collect()}
+        finally:
+            srv.close()
+        assert srv.errors == []
+        if disable_http2:
+            assert srv.requests == [] and srv.h1_requests
+        else:
+            assert srv.h1_requests == [] and srv.requests
+        return origin, rows
+
+    def norm(origin, r):
+        strip = lambda s: s.replace(origin, "") if s else s
+        return {
+            "path_query": r["path_query"],
+            "outcome": r["outcome"],
+            "status": r["status"],
+            "error_msg": r["error_msg"],
+            "redirectedto": strip(r["redirectedto"]),
+            "content_type": r["content_type"],
+            "charset": r["charset"],
+            "wwwauthenticate": r["wwwauthenticate"],
+            "body": bytes(r["body"]) if r["body"] is not None else None,
+            "content_length": r["content_length"],
+            "truncated": r["truncated"],
+            "spans": [(s["kind"], s["text"]) for s in (r["spans"] or [])],
+            "links": [strip(l) for l in (r["links"] or [])],
+            "cookies": sorted(
+                (c["name"], c["value"], c["path"])
+                for c in (r["cookies"] or [])
+            ),
+            "redirects": [
+                (strip(h["url"]), h["status"])
+                for h in (r["redirect_info"] or [])
+            ],
+        }
+
+    o1, h1 = run(disable_http2=True)
+    o2, h2 = run(disable_http2=False)
+    assert set(h1) == set(h2) and len(h1) == len(_SCENARIO_PATHS)
+    for idx in sorted(h1):
+        a, b = norm(o1, h1[idx]), norm(o2, h2[idx])
+        assert a == b, "record %d (%s) differs h1 vs h2:\n%r\n%r" % (
+            idx, _SCENARIO_PATHS[idx], a, b
+        )
 
 
 def test_h2_continuation_frames(tmp_path, h2_env):
