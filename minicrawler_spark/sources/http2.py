@@ -47,6 +47,7 @@ __all__ = [
     "HpackDecoder",
     "HpackEncoder",
     "H2Connection",
+    "AsyncH2Connection",
     "H2Error",
 ]
 
@@ -326,16 +327,30 @@ class H2Connection:
 
     # -- raw io --------------------------------------------------------
 
-    def _send(self, data: bytes, deadline: float) -> None:
-        self.sock.settimeout(max(0.1, deadline - time.monotonic()))
-        self.sock.sendall(data)
+    def _drive(self, gen, deadline: float):
+        """Sync driver for the sans-io generators: ("send", bytes)
+        writes, ("recv",) reads — each op under the remaining-time
+        budget. AsyncH2Connection drives the SAME generators with
+        asyncio streams; the protocol logic exists once."""
+        try:
+            op = gen.send(None)
+            while True:
+                if time.monotonic() >= deadline:
+                    raise TimeoutError("h2 i/o timed out")
+                self.sock.settimeout(max(0.1, deadline - time.monotonic()))
+                if op[0] == "send":
+                    self.sock.sendall(op[1])
+                    op = gen.send(None)
+                else:
+                    op = gen.send(self.sock.recv(65536))
+        except StopIteration as s:
+            return s.value
 
-    def _recv_frame(self, deadline: float):
+    def _steps_recv_frame(self):
+        """Yields ("recv",) until one whole frame is buffered; b""
+        from the driver means peer EOF."""
         while len(self._buf) < 9:
-            if time.monotonic() >= deadline:
-                raise TimeoutError("h2 frame header timed out")
-            self.sock.settimeout(max(0.1, deadline - time.monotonic()))
-            data = self.sock.recv(65536)
+            data = yield ("recv",)
             if not data:
                 raise H2Error("connection closed mid-frame")
             self._buf += data
@@ -343,10 +358,7 @@ class H2Connection:
         ftype, flags = self._buf[3], self._buf[4]
         stream_id = struct.unpack(">I", self._buf[5:9])[0] & 0x7FFFFFFF
         while len(self._buf) < 9 + ln:
-            if time.monotonic() >= deadline:
-                raise TimeoutError("h2 frame body timed out")
-            self.sock.settimeout(max(0.1, deadline - time.monotonic()))
-            data = self.sock.recv(65536)
+            data = yield ("recv",)
             if not data:
                 raise H2Error("connection closed mid-frame")
             self._buf += data
@@ -356,7 +368,7 @@ class H2Connection:
 
     # -- session -------------------------------------------------------
 
-    def handshake(self, deadline: float) -> None:
+    def _handshake_bytes(self) -> bytes:
         """Preface + SETTINGS (crawler.c:1152-1160); the server's
         SETTINGS is consumed lazily in the frame loop."""
         settings = struct.pack(
@@ -364,12 +376,12 @@ class H2Connection:
             SETTINGS_MAX_CONCURRENT_STREAMS, 100,
             SETTINGS_ENABLE_PUSH, 0,
         )
-        self._send(
-            PREFACE + pack_frame(F_SETTINGS, 0, 0, settings), deadline
-        )
         self._did_handshake = True
+        return PREFACE + pack_frame(F_SETTINGS, 0, 0, settings)
 
-    def _handle_control(self, ftype, flags, stream_id, payload, deadline):
+    def _handle_control(self, ftype, flags, stream_id, payload) -> bytes:
+        """Connection-level frame bookkeeping; returns the bytes to
+        send in reply (SETTINGS/PING acks), if any."""
         if ftype == F_SETTINGS and not (flags & FLAG_ACK):
             for off in range(0, len(payload) - 5, 6):
                 ident, value = struct.unpack(
@@ -383,13 +395,13 @@ class H2Connection:
                     delta = value - self.initial_stream_window
                     self.initial_stream_window = value
                     self.stream_send_window += delta
-            self._send(pack_frame(F_SETTINGS, FLAG_ACK, 0), deadline)
+            return pack_frame(F_SETTINGS, FLAG_ACK, 0)
         elif ftype == F_WINDOW_UPDATE and stream_id == 0:
             if len(payload) >= 4:
                 inc = struct.unpack(">I", payload[:4])[0] & 0x7FFFFFFF
                 self.send_window += inc
         elif ftype == F_PING and not (flags & FLAG_ACK):
-            self._send(pack_frame(F_PING, FLAG_ACK, 0, payload), deadline)
+            return pack_frame(F_PING, FLAG_ACK, 0, payload)
         elif ftype == F_GOAWAY:
             self.closed = True
             err = struct.unpack(">I", payload[4:8])[0] if len(payload) >= 8 else 0
@@ -399,19 +411,21 @@ class H2Connection:
             # push is disabled in our SETTINGS; a server that pushes
             # anyway violates RFC 9113 §8.4
             raise H2Error("unexpected PUSH_PROMISE")
+        return b""
 
-    def _wait_for_window(self, stream_id: int, deadline: float) -> None:
-        """Block until a WINDOW_UPDATE opens send capacity (or the
-        deadline trips inside _recv_frame). Response/stray frames that
-        arrive first queue for the response loop."""
+    def _steps_wait_window(self, stream_id: int):
+        """Until a WINDOW_UPDATE opens send capacity. Response/stray
+        frames that arrive first queue for the response loop."""
         while (min(self.send_window, self.stream_send_window) <= 0):
-            ftype, fflags, sid, payload = self._recv_frame(deadline)
+            ftype, fflags, sid, payload = yield from self._steps_recv_frame()
             if ftype == F_WINDOW_UPDATE and sid == stream_id:
                 if len(payload) >= 4:
                     inc = struct.unpack(">I", payload[:4])[0] & 0x7FFFFFFF
                     self.stream_send_window += inc
             elif sid == 0:
-                self._handle_control(ftype, fflags, sid, payload, deadline)
+                out = self._handle_control(ftype, fflags, sid, payload)
+                if out:
+                    yield ("send", out)
             elif ftype == F_RST_STREAM and sid == stream_id:
                 err = struct.unpack(">I", payload[:4])[0]
                 raise H2Error("stream reset by server (error %d)" % err)
@@ -425,8 +439,17 @@ class H2Connection:
                 body: Optional[bytes], deadline: float) -> bytes:
         """Run one stream to completion; returns the response
         synthesized as HTTP/1.1-style raw bytes."""
+        return self._drive(
+            self._steps_request(method, scheme, authority, path,
+                                headers, body),
+            deadline,
+        )
+
+    def _steps_request(self, method: str, scheme: str, authority: str,
+                       path: str, headers: List[Tuple[str, str]],
+                       body: Optional[bytes]):
         if not self._did_handshake:
-            self.handshake(deadline)
+            yield ("send", self._handshake_bytes())
         stream_id = self.next_stream
         self.next_stream += 2
 
@@ -446,7 +469,7 @@ class H2Connection:
         block = self.encoder.encode(nva)
         flags = FLAG_END_HEADERS | (0 if body else FLAG_END_STREAM)
         self.stream_send_window = self.initial_stream_window
-        self._send(pack_frame(F_HEADERS, flags, stream_id, block), deadline)
+        yield ("send", pack_frame(F_HEADERS, flags, stream_id, block))
         if body:
             # DATA respects BOTH send windows (RFC 9113 §5.2): when
             # exhausted, block on the peer's WINDOW_UPDATE (response
@@ -455,18 +478,18 @@ class H2Connection:
             while off < len(body):
                 avail = min(self.send_window, self.stream_send_window)
                 if avail <= 0:
-                    self._wait_for_window(stream_id, deadline)
+                    yield from self._steps_wait_window(stream_id)
                     continue
                 n = min(avail, self.peer_max_frame, len(body) - off)
                 chunk = body[off:off + n]
                 off += n
-                self._send(
+                yield (
+                    "send",
                     pack_frame(
                         F_DATA,
                         FLAG_END_STREAM if off == len(body) else 0,
                         stream_id, chunk,
                     ),
-                    deadline,
                 )
                 self.send_window -= n
                 self.stream_send_window -= n
@@ -484,7 +507,9 @@ class H2Connection:
             if self._pending:
                 ftype, fflags, sid, payload = self._pending.pop(0)
             else:
-                ftype, fflags, sid, payload = self._recv_frame(deadline)
+                ftype, fflags, sid, payload = (
+                    yield from self._steps_recv_frame()
+                )
             if in_headers:
                 if ftype != F_CONTINUATION or sid != stream_id:
                     raise H2Error("expected CONTINUATION")
@@ -501,17 +526,19 @@ class H2Connection:
                         break
                 continue
             if sid == 0:
-                self._handle_control(ftype, fflags, sid, payload, deadline)
+                out = self._handle_control(ftype, fflags, sid, payload)
+                if out:
+                    yield ("send", out)
                 continue
             if sid != stream_id:
                 # stray frame for an old/pushed stream: reset it
                 if ftype not in (F_PRIORITY, F_WINDOW_UPDATE, F_RST_STREAM):
-                    self._send(
+                    yield (
+                        "send",
                         pack_frame(
                             F_RST_STREAM, 0, sid,
                             struct.pack(">I", 0x5),  # STREAM_CLOSED
                         ),
-                        deadline,
                     )
                 continue
             if ftype == F_HEADERS:
@@ -548,10 +575,10 @@ class H2Connection:
                     # replenish both flow-control windows (RFC 9113
                     # §5.2.2); the reference delegates this to nghttp2
                     inc = struct.pack(">I", len(payload))
-                    self._send(
+                    yield (
+                        "send",
                         pack_frame(F_WINDOW_UPDATE, 0, 0, inc)
                         + pack_frame(F_WINDOW_UPDATE, 0, stream_id, inc),
-                        deadline,
                     )
                 if fflags & FLAG_END_STREAM:
                     break
@@ -588,5 +615,51 @@ class H2Connection:
         try:
             self.sock.close()
         except OSError:
+            pass
+        self.closed = True
+
+
+class AsyncH2Connection(H2Connection):
+    """The same sans-io protocol core driven by asyncio streams — the
+    nonblocking-socket path the fetch-stage multiplexer uses, so one
+    event-loop thread carries every h2 session in a partition (the
+    reference's one-thread/many-sockets shape, crawler.c:1809-1860)."""
+
+    def __init__(self, reader, writer):
+        super().__init__(sock=None)
+        self.reader = reader
+        self.writer = writer
+
+    async def request_async(self, method: str, scheme: str,
+                            authority: str, path: str,
+                            headers: List[Tuple[str, str]],
+                            body: Optional[bytes],
+                            deadline: float) -> bytes:
+        import asyncio
+
+        gen = self._steps_request(method, scheme, authority, path,
+                                  headers, body)
+        try:
+            op = gen.send(None)
+            while True:
+                if time.monotonic() >= deadline:
+                    raise TimeoutError("h2 i/o timed out")
+                budget = max(0.1, deadline - time.monotonic())
+                if op[0] == "send":
+                    self.writer.write(op[1])
+                    await asyncio.wait_for(self.writer.drain(), budget)
+                    op = gen.send(None)
+                else:
+                    data = await asyncio.wait_for(
+                        self.reader.read(65536), budget
+                    )
+                    op = gen.send(data)
+        except StopIteration as s:
+            return s.value
+
+    def close(self) -> None:
+        try:
+            self.writer.close()
+        except Exception:
             pass
         self.closed = True

@@ -15,8 +15,15 @@ Design decisions, mapped to the reference:
   connect failover walks the list with a per-attempt timeout of
   timeout/3 (>6s total) else 2s (crawler.c:1873-1885).
 - TLS: ssl.create_default_context; `insecure=True` disables
-  verification (-k, cert.c:333); ALPN pinned to http/1.1 (the h2
-  code path is out of scope — SURVEY §2.8).
+  verification (-k, cert.c:333); ALPN offers "h2, http/1.1" like the
+  reference's cert.c:258 (h2 sessions ride sources/http2.py; -2 /
+  disable_http2 drops the offer), with a downgrade ladder mirroring
+  crawler.c:97-131 on handshake failure.
+- Two execution models, one protocol: the blocking path
+  (http_fetcher) and the asyncio path (http_fetcher_async, used by
+  the fetch-stage multiplexer so one event-loop thread carries every
+  in-flight chain) drive the SAME sans-io framing generators, so
+  their semantics cannot drift.
 - Keep-alive pool: one cached connection per (scheme, host, port) per
   worker process — the reference's same-host connection reuse
   (crawler.c:1624-1632; host-partitioning makes hits likely). To keep
@@ -90,18 +97,47 @@ def _lookup(host: str):
     return infos
 
 
-def _resolve(host: str, port: int):
+def _order_addrs(infos, port: int):
     """IPv4 first, then IPv6 (A -> AAAA fallback order); -6 restricts
     to AAAA (crawler.c MCURL_OPT_IPV6)."""
     infos = [
         (fam, st, pr, cn, (sa[0], port) + tuple(sa[2:]))
-        for fam, st, pr, cn, sa in _lookup(host)
+        for fam, st, pr, cn, sa in infos
     ]
     v4 = [i for i in infos if i[0] == socket.AF_INET]
     v6 = [i for i in infos if i[0] == socket.AF_INET6]
     if _DEFAULTS["ipv6_only"]:
         return v6
     return v4 + v6
+
+
+def _resolve(host: str, port: int):
+    return _order_addrs(_lookup(host), port)
+
+
+async def _alookup(host: str):
+    """Async twin of _lookup sharing the same cache; the actual
+    getaddrinfo runs on asyncio's resolver executor — the one place
+    the nonblocking fetch path still touches a thread (matching the
+    reference's delegation of DNS to c-ares worker machinery)."""
+    import asyncio
+
+    entry = _DNS_CACHE.get(host)
+    now = time.monotonic()
+    if entry is not None and now < entry[1]:
+        if isinstance(entry[0], OSError):
+            raise entry[0]
+        return entry[0]
+    loop = asyncio.get_running_loop()
+    try:
+        infos = await loop.getaddrinfo(
+            host, None, type=socket.SOCK_STREAM
+        )
+    except OSError as e:
+        _DNS_CACHE[host] = (e, now + _DNS_TTL_S / 10)
+        raise
+    _DNS_CACHE[host] = (infos, now + _DNS_TTL_S)
+    return infos
 
 
 def resolved_ip(host: str):
@@ -269,23 +305,135 @@ def _open(scheme: str, host: str, port: int, deadline: float,
     raise last_err
 
 
+async def _aopen(scheme: str, host: str, port: int, deadline: float,
+                 timeout_s: float):
+    """Async twin of _open: nonblocking connect failover + the same
+    TLS downgrade-ladder semantics, returning (reader, writer)."""
+    import asyncio
+
+    addrs = _order_addrs(await _alookup(host), port)
+    per = timeout_s / 3.0 if timeout_s > 6 else 2.0
+    loop = asyncio.get_running_loop()
+
+    async def tcp_connect():
+        last_err = None
+        for family, stype, proto, _cname, sockaddr in addrs:
+            s = socket.socket(family, stype, proto)
+            s.setblocking(False)
+            try:
+                await asyncio.wait_for(
+                    loop.sock_connect(s, sockaddr),
+                    min(per, max(0.1, deadline - time.monotonic())),
+                )
+                return s
+            except (OSError, asyncio.TimeoutError) as e:
+                last_err = e
+                s.close()
+        # same taxonomy as _connect: connect-phase failures are
+        # "Connection failed", never the timeout record
+        raise OSError("connect failed: %s" % (last_err or "no addresses"))
+
+    if scheme != "https":
+        sock = await tcp_connect()
+        return await asyncio.open_connection(sock=sock)
+
+    start = _tls_rung_get(host)
+    rungs = _TLS_LADDER[_TLS_LADDER.index(start):]
+    last_err: Exception = ssl.SSLError("no TLS attempt made")
+    for max_ver in rungs:
+        if time.monotonic() >= deadline:
+            break
+        sock = await tcp_connect()
+        try:
+            reader, writer = await asyncio.wait_for(
+                asyncio.open_connection(
+                    sock=sock, ssl=_tls_context(max_ver),
+                    server_hostname=host,
+                ),
+                max(0.1, deadline - time.monotonic()),
+            )
+            if max_ver != ssl.TLSVersion.MAXIMUM_SUPPORTED:
+                _TLS_MAX[host] = (
+                    max_ver, time.monotonic() + _TLS_MAX_TTL_S
+                )
+            return reader, writer
+        except ssl.SSLCertVerificationError:
+            sock.close()
+            raise  # downgrading never fixes a bad cert
+        except (ssl.SSLError, TimeoutError) as e:
+            # same trigger set as _open: SSL protocol errors and
+            # handshake timeouts walk the ladder; TCP errors raise
+            sock.close()
+            last_err = e
+        except ValueError as e:
+            sock.close()
+            last_err = ssl.SSLError(str(e))
+    if isinstance(last_err, TimeoutError):
+        last_err = ssl.SSLError("handshake timed out: %s" % last_err)
+    raise last_err
+
+
 def _read_response(sock, deadline: float, method: str = "GET") -> tuple:
-    """Read exactly one HTTP/1.1 response. Returns (raw_bytes,
+    """Read exactly one HTTP/1.1 response on a blocking socket (sync
+    driver over _read_response_steps)."""
+    gen = _read_response_steps(deadline, method)
+    try:
+        op = gen.send(None)
+        while True:
+            sock.settimeout(op[1])
+            try:
+                data = sock.recv(65536)
+            except TimeoutError:
+                data = None
+            except OSError:
+                if not op[2]:
+                    raise
+                data = None  # tolerant op (trailer drain): best-effort
+            op = gen.send(data)
+    except StopIteration as s:
+        return s.value
+
+
+async def _aread_response(reader, deadline: float,
+                          method: str = "GET") -> tuple:
+    """Async driver over the same framing core."""
+    import asyncio
+
+    gen = _read_response_steps(deadline, method)
+    try:
+        op = gen.send(None)
+        while True:
+            try:
+                data = await asyncio.wait_for(reader.read(65536), op[1])
+            except (TimeoutError, asyncio.TimeoutError):
+                data = None
+            except OSError:
+                if not op[2]:
+                    raise
+                data = None
+            op = gen.send(data)
+    except StopIteration as s:
+        return s.value
+
+
+def _read_response_steps(deadline: float, method: str = "GET"):
+    """Sans-io core of one-HTTP/1.1-response framing. Yields
+    ("recv", max_wait_s, tolerant); the driver sends back bytes
+    (b"" = peer EOF, None = that read timed out). Returns (raw_bytes,
     reusable): minimal framing only — the engine's protocol layer is
     the semantic authority; this just finds the response boundary so
-    a kept-alive socket stays clean."""
+    a kept-alive connection stays clean. Both the blocking and the
+    asyncio fetcher drive THIS generator, so framing can never drift
+    between them."""
     buf = b""
     head_end = -1
+    body_at = 0
     while head_end < 0 and len(buf) < MAX_RESPONSE:
         if time.monotonic() >= deadline:
             return buf, False  # deadline expired: hand back the partial
-        sock.settimeout(max(0.1, deadline - time.monotonic()))
-        try:
-            data = sock.recv(65536)
-        except TimeoutError:
-            return buf, False  # remaining-time recv timed out == deadline
+        data = yield ("recv", max(0.1, deadline - time.monotonic()), False)
         if not data:
-            return buf, False
+            return buf, False  # EOF, or remaining-time read timed out
         buf += data
         head_end = buf.find(b"\r\n\r\n")
         if head_end < 0:
@@ -319,11 +467,8 @@ def _read_response(sock, deadline: float, method: str = "GET") -> tuple:
         # then emits the reference's timeout record)
         if time.monotonic() >= deadline:
             return b""
-        sock.settimeout(max(0.1, deadline - time.monotonic()))
-        try:
-            return sock.recv(65536)
-        except TimeoutError:
-            return b""
+        data = yield ("recv", max(0.1, deadline - time.monotonic()), False)
+        return data or b""
 
     if chunked:
         # walk chunk frames (size lines are positional — scanning for
@@ -347,7 +492,7 @@ def _read_response(sock, deadline: float, method: str = "GET") -> tuple:
 
         state = chunks_done(buf)
         while state is None and len(buf) < MAX_RESPONSE:
-            data = recv_more()
+            data = yield from recv_more()
             if not data:
                 return buf, False
             buf += data
@@ -355,15 +500,13 @@ def _read_response(sock, deadline: float, method: str = "GET") -> tuple:
         if state is True:
             # drain the trailer's final CRLF if it is still in flight
             if not buf.endswith(b"\r\n\r\n"):
-                try:
-                    sock.settimeout(0.05)
-                    buf += sock.recv(4096)
-                except OSError:
-                    pass
+                data = yield ("recv", 0.05, True)  # tolerant: best-effort
+                if data:
+                    buf += data
             return buf, not conn_close
         # malformed or oversized: read to close
         while len(buf) < MAX_RESPONSE:
-            data = recv_more()
+            data = yield from recv_more()
             if not data:
                 break
             buf += data
@@ -375,14 +518,14 @@ def _read_response(sock, deadline: float, method: str = "GET") -> tuple:
             want = None
         if want is not None:
             while len(buf) < min(want, MAX_RESPONSE):
-                data = recv_more()
+                data = yield from recv_more()
                 if not data:
                     return buf, False
                 buf += data
             return buf, not conn_close
     # no framing -> body is close-delimited
     while len(buf) < MAX_RESPONSE:
-        data = recv_more()
+        data = yield from recv_more()
         if not data:
             break
         buf += data
@@ -467,6 +610,143 @@ def http_fetcher(method: str, url: str, headers: dict, body):
             _pool_put(key, sock)
         else:
             sock.close()
+
+    delay_ms = int((time.monotonic() - t0) * 1000)
+    return raw, delay_ms
+
+
+class AsyncFetchContext:
+    """Per-event-loop keep-alive pool for http_fetcher_async. asyncio
+    transports are bound to their loop, so unlike the sync _POOL this
+    cannot be process-global: the fetch stage creates one per
+    asyncio.run and closes it when the batch's loop ends. Entries are
+    (reader, writer) pairs or AsyncH2Connection sessions."""
+
+    def __init__(self):
+        self._pool: dict = {}
+
+    def get(self, key):
+        try:
+            return self._pool[key].pop()
+        except (KeyError, IndexError):
+            return None
+
+    def put(self, key, entry) -> None:
+        bucket = self._pool.setdefault(key, [])
+        if len(bucket) < _POOL_PER_KEY:
+            bucket.append(entry)
+        else:
+            self._close_entry(entry)
+
+    @staticmethod
+    def _close_entry(entry) -> None:
+        try:
+            if isinstance(entry, tuple):
+                entry[1].close()  # (reader, writer)
+            else:
+                entry.close()     # AsyncH2Connection
+        except Exception:
+            pass
+
+    async def close(self) -> None:
+        for bucket in self._pool.values():
+            for entry in bucket:
+                self._close_entry(entry)
+        self._pool.clear()
+
+
+async def http_fetcher_async(method: str, url: str, headers: dict,
+                             body, ctx: AsyncFetchContext = None):
+    """Coroutine twin of http_fetcher for the fetch-stage multiplexer:
+    identical request bytes and identical framing (both drive the SAME
+    sans-io cores — _read_response_steps and H2Connection's step
+    generators), but every socket operation is nonblocking on the
+    caller's event loop, so one loop thread carries all in-flight
+    chains (crawler.c:1809-1860's one-thread/many-sockets shape; only
+    DNS cache misses touch asyncio's resolver executor)."""
+    import asyncio
+
+    from .http2 import AsyncH2Connection, H2Error
+
+    timeout_s = float(_DEFAULTS["timeout_s"])
+    deadline = time.monotonic() + timeout_s
+    t0 = time.monotonic()
+
+    parts = urlsplit(url)
+    scheme = (parts.scheme or "http").lower()
+    host = parts.hostname or ""
+    port = parts.port or (443 if scheme == "https" else 80)
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+
+    lines = ["%s %s HTTP/1.1" % (method, path)]
+    for k, v in headers.items():
+        lines.append("%s: %s" % (k, v))
+    req = ("\r\n".join(lines) + "\r\n\r\n").encode("latin-1")
+    if body:
+        req += bytes(body)
+
+    key = (scheme, host, port)
+    authority = headers.get("Host") or host
+    raw = b""
+    reusable = False
+    conn = None
+    pooled = ctx.get(key) if ctx is not None else None
+    for conn, fresh in ((pooled, False), (None, True)):
+        if conn is None:
+            if not fresh:
+                continue  # no pooled connection; go straight to fresh
+            reader, writer = await _aopen(
+                scheme, host, port, deadline, timeout_s
+            )
+            ssl_obj = writer.get_extra_info("ssl_object")
+            if (
+                ssl_obj is not None
+                and ssl_obj.selected_alpn_protocol() == "h2"
+            ):
+                conn = AsyncH2Connection(reader, writer)
+            else:
+                conn = (reader, writer)
+        if isinstance(conn, AsyncH2Connection):
+            try:
+                raw = await conn.request_async(
+                    method, scheme, authority, path,
+                    list(headers.items()),
+                    bytes(body) if body else None, deadline,
+                )
+                reusable = not conn.closed
+            except (H2Error, OSError) as e:
+                conn.close()
+                conn = None
+                if fresh:
+                    if isinstance(e, TimeoutError):
+                        raise
+                    raise OSError("h2: %s" % e)
+                continue  # stale pooled session; retry fresh
+            break
+        reader, writer = conn
+        try:
+            writer.write(req)
+            await asyncio.wait_for(
+                writer.drain(), max(0.1, deadline - time.monotonic())
+            )
+            raw, reusable = await _aread_response(reader, deadline, method)
+        except OSError:
+            writer.close()
+            conn = None
+            if fresh:
+                raise
+            continue  # stale pooled connection; retry once on a fresh one
+        if raw or fresh:
+            break
+        writer.close()  # pooled connection returned nothing: retry fresh
+        conn = None
+    if conn is not None:
+        if reusable and ctx is not None:
+            ctx.put(key, conn)
+        else:
+            AsyncFetchContext._close_entry(conn)
 
     delay_ms = int((time.monotonic() - t0) * 1000)
     return raw, delay_ms

@@ -190,6 +190,19 @@ def resolve_fetcher(spec: str, settings: Optional[dict] = None) -> Callable:
     return getattr(mod, fn)
 
 
+def resolve_async_fetcher(spec: str) -> Optional[Callable]:
+    """The async twin of a fetcher spec, if the module provides one:
+    `module:func` -> module.func_async (a coroutine function taking
+    the same (method, url, headers, body)). The built-in
+    sources.httpfetch provides it, so the multiplexed fetch stage runs
+    pure asyncio socket I/O — one event-loop thread per partition —
+    instead of a thread per in-flight chain. Fetchers without an
+    async twin fall back to the loop's executor (bounded, documented)."""
+    mod_name, _, fn = spec.partition(":")
+    mod = importlib.import_module(mod_name)
+    return getattr(mod, fn + "_async", None)
+
+
 # ---------------------------------------------------------------------------
 # seeds
 # ---------------------------------------------------------------------------
@@ -339,18 +352,18 @@ def _make_fetch_stage(settings: dict, round_no: int):
         else:
             stage_t0 = None
 
-        def process(row, wall_wait: bool = True) -> dict:
+        def process_steps(row):
+            """The per-job state machine as a sans-io GENERATOR: it
+            yields ("fetch", method, href, headers, post) for every
+            hop and receives (raw, delay_ms) via .send() — or the
+            fetcher's exception via .throw(). The finished record is
+            the generator's return value. Pure protocol logic, no
+            sockets, no clocks: the sync driver runs it against the
+            blocking fetcher, the asyncio driver awaits the fetcher
+            coroutine — one state machine, two execution models (the
+            reference's event-driven job states, crawler.c:341-604
+            dispatch)."""
             o = base_out(row)
-            if wall_wait and stage_t0 is not None:
-                # wall-clock politeness: hold this job until its
-                # scheduled offset within the round (the multiplexed
-                # path awaits this lag on the event loop instead, so a
-                # waiting job never occupies an I/O slot)
-                import time as _time
-
-                lag = stage_t0 + int(row["wait_ms"]) / 1000.0 - _time.monotonic()
-                if lag > 0:
-                    _time.sleep(lag)
             elapsed = int(row["elapsed_ms"]) + int(row["wait_ms"])
             # politeness wait blew the budget -> never started
             if elapsed > timeout_ms:
@@ -424,7 +437,9 @@ def _make_fetch_stage(settings: dict, round_no: int):
                 # real fetchers raise; map to the reference's negative
                 # status codes (state - MCURL_S_ERROR, README.md:121-131)
                 try:
-                    raw, delay_ms = fetcher(method, href, headers, post)
+                    raw, delay_ms = yield (
+                        "fetch", method, href, headers, post
+                    )
                 except Exception as e:
                     import socket as _socket
                     import ssl as _ssl
@@ -621,29 +636,66 @@ def _make_fetch_stage(settings: dict, round_no: int):
             set_timing(o, elapsed, True, True, scheme == "https")
             return o
 
+        def process(row, wall_wait: bool = True) -> dict:
+            """Sync driver over process_steps: blocking politeness
+            wait + blocking fetcher (fixture/virtual-clock mode and
+            the serial escape hatch)."""
+            if wall_wait and stage_t0 is not None:
+                import time as _time
+
+                lag = stage_t0 + int(row["wait_ms"]) / 1000.0 - _time.monotonic()
+                if lag > 0:
+                    _time.sleep(lag)
+            g = process_steps(row)
+            try:
+                req = next(g)
+                while True:
+                    try:
+                        resp = fetcher(*req[1:])
+                    except Exception as e:
+                        req = g.throw(e)
+                    else:
+                        req = g.send(resp)
+            except StopIteration as s:
+                return s.value
+
         # -- the select() multiplexer analogue (crawler.c:1809-1860) --
         # In real_time mode each job's hop chain runs as a coroutine on
-        # one event loop per partition: politeness lags are awaited on
-        # the loop (costing no I/O slot), and up to fetch_concurrency
-        # chains are in flight at once, their blocking socket work on
-        # the loop's thread pool. K slow hosts in one partition thus
-        # complete in ~max, not ~sum, of their chains — the reference's
-        # single-thread/many-sockets property. The virtual-clock
-        # fixture mode has no wall waits to overlap and stays serial
-        # (deterministic, zero thread overhead).
+        # ONE event loop per partition: politeness lags are awaited on
+        # the loop (costing no I/O slot) and up to fetch_concurrency
+        # chains are in flight at once. With an async-capable fetcher
+        # (sources.httpfetch provides http_fetcher_async) the socket
+        # I/O itself is nonblocking on the loop — one thread, many
+        # sockets, the reference's model for real — so K slow hosts
+        # complete in ~max, not ~sum, of their chains. Fetchers
+        # without an async twin fall back to the loop's executor. The
+        # virtual-clock fixture mode has no wall waits to overlap and
+        # stays serial (deterministic, zero loop overhead).
         k_inflight = int(settings.get("fetch_concurrency") or 1)
         use_mux = bool(settings.get("real_time")) and k_inflight > 1
-        mux_pool = None
-        if use_mux:
-            from concurrent.futures import ThreadPoolExecutor
-
-            mux_pool = ThreadPoolExecutor(max_workers=k_inflight)
+        afetcher = (
+            resolve_async_fetcher(settings["fetcher"]) if use_mux else None
+        )
 
         def run_multiplexed(rows):
             import asyncio
             import time as _time
 
-            async def chain(row, loop, sem):
+            async def drive_async(row, actx):
+                g = process_steps(row)
+                try:
+                    req = next(g)
+                    while True:
+                        try:
+                            resp = await afetcher(*req[1:], ctx=actx)
+                        except Exception as e:
+                            req = g.throw(e)
+                        else:
+                            req = g.send(resp)
+                except StopIteration as s:
+                    return s.value
+
+            async def chain(row, loop, sem, actx):
                 if stage_t0 is not None:
                     lag = (
                         stage_t0 + int(row["wait_ms"]) / 1000.0
@@ -652,32 +704,46 @@ def _make_fetch_stage(settings: dict, round_no: int):
                     if lag > 0:
                         await asyncio.sleep(lag)  # schedule wait, slot-free
                 async with sem:
-                    return await loop.run_in_executor(
-                        mux_pool, process, row, False
-                    )
+                    if afetcher is not None:
+                        return await drive_async(row, actx)
+                    return await loop.run_in_executor(None, process, row, False)
 
             async def main():
                 loop = asyncio.get_running_loop()
                 sem = asyncio.Semaphore(k_inflight)
-                return await asyncio.gather(
-                    *[chain(r, loop, sem) for r in rows]
-                )
+                actx = None
+                if afetcher is not None:
+                    # per-event-loop fetch context (connection pool
+                    # etc.) from the fetcher's own module — asyncio
+                    # transports are loop-bound, so it cannot be
+                    # process-global like the sync pool
+                    ctx_cls = getattr(
+                        importlib.import_module(
+                            settings["fetcher"].partition(":")[0]
+                        ),
+                        "AsyncFetchContext",
+                        None,
+                    )
+                    actx = ctx_cls() if ctx_cls is not None else None
+                try:
+                    return await asyncio.gather(
+                        *[chain(r, loop, sem, actx) for r in rows]
+                    )
+                finally:
+                    if actx is not None:
+                        await actx.close()
 
             return list(asyncio.run(main()))
 
-        try:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                rows = pdf.to_dict("records")
-                if use_mux and len(rows) > 1:
-                    recs = run_multiplexed(rows)
-                else:
-                    recs = [process(r) for r in rows]
-                yield pd.DataFrame(recs, columns=out_cols)
-        finally:
-            if mux_pool is not None:
-                mux_pool.shutdown(wait=False)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = pdf.to_dict("records")
+            if use_mux and len(rows) > 1:
+                recs = run_multiplexed(rows)
+            else:
+                recs = [process(r) for r in rows]
+            yield pd.DataFrame(recs, columns=out_cols)
 
     return fetch_stage
 

@@ -120,6 +120,60 @@ def test_stateful_accumulates_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_state_survives_query_restart(spark, tmp_path):
+    """VERDICT r2 #7: the per-host GroupState must survive a query
+    restart through the state checkpoint — kill the continuous query
+    mid-stream, restart from the same checkpoint, and the post-restart
+    session stats must equal an uninterrupted run's (same totals,
+    same EMA continuation; matching test_stateful_accumulates'
+    expected values for the identical input)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    _write_batch(spark, src, "b1", [
+        ("a.test", "done", 100, 10, 0, 1),
+        ("a.test", "done", 300, 20, 0, 2),
+        ("b.test", "error", 0, 5, 0, 3),
+    ])
+    q = _start(spark, src, out, ck, gap_s=300.0)
+    try:
+        _wait_rows(
+            spark, out,
+            lambda rs: any(
+                r["host"] == "a.test" and r["n_pages"] == 2 for r in rs
+            ),
+            query=q,
+        )
+    finally:
+        q.stop()  # kill mid-stream; b2 arrives while the query is down
+
+    _write_batch(spark, src, "b2", [
+        ("a.test", "timeout", 0, 40, 1, 4),
+        ("c.test", "done", 50, 8, 1, 5),
+    ])
+    q2 = _start(spark, src, out, ck, gap_s=300.0)  # same checkpoint
+    try:
+        rows = _wait_rows(
+            spark, out,
+            lambda rs: any(
+                r["host"] == "a.test" and r["n_pages"] == 3 for r in rs
+            ),
+            query=q2,
+        )
+    finally:
+        q2.stop()
+    a2 = [r for r in rows if r["host"] == "a.test" and r["n_pages"] == 3][0]
+    # totals continue from the CHECKPOINTED state, not from zero
+    assert a2["n_errors"] == 1
+    assert a2["total_bytes"] == 400
+    # EMA continues the pre-restart sequence: 0.75*12.5 + 0.25*40
+    assert a2["ema_elapsed_ms"] == pytest.approx(19.375)
+    c = [r for r in rows if r["host"] == "c.test"][-1]
+    assert c["n_pages"] == 1 and c["total_bytes"] == 50
+
+
 def test_stateful_session_closes_on_gap(spark, tmp_path):
     """A host quiet past session_gap_s gets its ProcessingTimeTimeout
     fired on a later trigger and emits one closed=true summary row
