@@ -4,10 +4,10 @@ Arrow batch shapes, partitioning — is real and tested, and the two
 dominant web image types decode for REAL, stdlib-only: PNG (IHDR
 parse, chunk walk, zlib inflate, scanline unfilter — _decode_png)
 and JPEG (SOF0/SOF2 marker walk for dimensions + scan digest —
-_decode_jpeg). Other codecs (WebP/AVIF, audio, video) would plug in
-at the _decode_image dispatch seam via PIL/pyvips, which are not in
-this container; the deterministic 'PNGSTUB:' branch remains for
-cross-engine oracle tests.
+_decode_jpeg), plus GIF and WebP dimension headers. Remaining codecs
+(AVIF, audio, video) would plug in at the _decode_image dispatch seam
+via PIL/pyvips, which are not in this container; the deterministic
+'PNGSTUB:' branch remains for cross-engine oracle tests.
 """
 
 from __future__ import annotations
@@ -204,6 +204,60 @@ def _decode_jpeg(data: bytes):
     raise ValueError("JPEG missing SOF/SOS")
 
 
+def _decode_gif(data: bytes):
+    """GIF87a/89a logical-screen dimensions (bytes 6..10, LE) + a
+    data-stream digest feature."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    width, height = struct.unpack("<HH", data[6:10])
+    if width == 0 or height == 0:
+        raise ValueError("GIF zero dimensions")
+    if not data.endswith(b";"):  # trailer (GIF89a spec appendix)
+        raise ValueError("GIF truncated: missing trailer")
+    feature = hashlib.sha256(data[13:]).digest() * 2
+    return width, height, feature
+
+
+def _decode_webp(data: bytes):
+    """WebP dimensions from the RIFF container: VP8 (lossy key frame
+    header), VP8L (lossless, 14-bit packed) or VP8X (extended,
+    24-bit minus one) — the three container layouts in the public
+    WebP spec."""
+    import struct
+
+    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP: bad RIFF header")
+    riff_len = struct.unpack("<I", data[4:8])[0]
+    if riff_len + 8 > len(data):
+        raise ValueError("WebP truncated: RIFF size past EOF")
+    fourcc = data[12:16]
+    payload = data[20:]
+    if fourcc == b"VP8 ":
+        # lossy: 3-byte frame tag, then 3-byte start code 9d 01 2a,
+        # then 14-bit width/height
+        if payload[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("WebP VP8 bad start code")
+        width = struct.unpack("<H", payload[6:8])[0] & 0x3FFF
+        height = struct.unpack("<H", payload[8:10])[0] & 0x3FFF
+    elif fourcc == b"VP8L":
+        if payload[0] != 0x2F:
+            raise ValueError("WebP VP8L bad signature byte")
+        bits = struct.unpack("<I", payload[1:5])[0]
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+    elif fourcc == b"VP8X":
+        width = 1 + int.from_bytes(data[24:27], "little")
+        height = 1 + int.from_bytes(data[27:30], "little")
+    else:
+        raise ValueError("WebP unknown chunk %r" % fourcc)
+    if width == 0 or height == 0:
+        raise ValueError("WebP zero dimensions")
+    feature = hashlib.sha256(payload).digest() * 2
+    return width, height, feature
+
+
 def _decode_image_stub(data: bytes):
     """Deterministic fake decode for the ASCII 'PNGSTUB:' magic used
     by cross-engine oracle tests (the DuckDB sha256 only takes
@@ -217,19 +271,24 @@ def _decode_image_stub(data: bytes):
 
 
 def _decode_image(data: bytes):
-    """Dispatch on magic bytes: PNG and JPEG (the two dominant web
+    """Dispatch on magic bytes: PNG/JPEG/GIF/WebP (the dominant web
     image types) take the stdlib codecs; the PNGSTUB oracle magic
     takes the deterministic stub; anything else is a decode error
     (NotImplementedError marks the seam where further codecs —
-    WebP/AVIF via PIL/pyvips — would plug in)."""
+    AVIF/audio/video via PIL/pyvips — would plug in)."""
     if data.startswith(_PNG_SIG):
         return _decode_png(data)
     if data[0:2] == b"\xff\xd8":
         return _decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return _decode_webp(data)
     if data.startswith(b"PNGSTUB:"):
         return _decode_image_stub(data)
     raise NotImplementedError(
-        "no decoder for this magic (PNG, JPEG and PNGSTUB supported)"
+        "no decoder for this magic (PNG/JPEG/GIF/WebP and PNGSTUB "
+        "supported)"
     )
 
 

@@ -444,6 +444,55 @@ def test_jpeg_decode_real_bytes():
             _decode_jpeg(bad)
 
 
+def test_gif_and_webp_dimension_decode():
+    """GIF and WebP headers decode for real: logical-screen / frame
+    dimensions off the documented byte layouts, corrupt input
+    rejected."""
+    import struct
+
+    import pytest as _pytest
+
+    from minicrawler_spark.operators.multimodal import (
+        _decode_gif, _decode_image, _decode_webp,
+    )
+
+    gif = (b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+           + b"\x2c" + b"\x00" * 9 + b"\x02\x01\x00\x00" + b";")
+    w, h, feat = _decode_gif(gif)
+    assert (w, h) == (320, 200) and len(feat) == 64
+    assert _decode_image(gif)[:2] == (320, 200)
+
+    # VP8 lossy: RIFF + 'VP8 ' chunk, frame tag + 9d 01 2a + dims
+    vp8 = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+           + struct.pack("<HH", 640, 480) + b"\x00" * 20)
+    webp = (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8)) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", len(vp8)) + vp8)
+    assert _decode_webp(webp)[:2] == (640, 480)
+    assert _decode_image(webp)[:2] == (640, 480)
+
+    # VP8L lossless: signature 0x2f + 14-bit width-1 / height-1
+    bits = (99) | (49 << 14)  # 100 x 50
+    vp8l = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 20
+    webpl = (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l)) + b"WEBP"
+             + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l)
+    assert _decode_webp(webpl)[:2] == (100, 50)
+
+    # VP8X extended: 24-bit canvas minus one at bytes 24..30
+    vp8x = b"\x00" * 4 + (1919).to_bytes(3, "little") + (1079).to_bytes(
+        3, "little") + b"\x00" * 10
+    webpx = (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8x)) + b"WEBP"
+             + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+    assert _decode_webp(webpx)[:2] == (1920, 1080)
+
+    for bad_gif in (b"GIF89a\x00", gif[:-1], b"GIF00a" + gif[6:]):
+        with _pytest.raises(ValueError):
+            _decode_gif(bad_gif)
+    for bad_webp in (webp[:16], b"RIFF\x00\x00\x00\x00WAVE" + webp[12:],
+                     webp.replace(b"\x9d\x01\x2a", b"\x9d\x01\x2b")):
+        with _pytest.raises((ValueError, IndexError)):
+            _decode_webp(bad_webp)
+
+
 def test_decode_and_featurize_mixed_real_and_stub(spark):
     """The mapInPandas stage handles real PNGs, PNGSTUB oracle rows,
     and undecodable bytes in one batch."""
@@ -459,7 +508,7 @@ def test_decode_and_featurize_mixed_real_and_stub(spark):
          bytearray(_encode_jpeg(7, 5))),
         ("img://stub", "image", "image/png", bytearray(b"PNGSTUB:hello")),
         ("img://trunc", "image", "image/jpeg", bytearray(b"\xff\xd8\xff")),
-        ("img://bad", "image", "image/gif", bytearray(b"GIF89a\x01\x00")),
+        ("img://bad", "image", "image/bmp", bytearray(b"BM\x01\x00\x00")),
     ]
     out = {
         r["media_ref"]: r

@@ -78,6 +78,21 @@ def main():
         plans[name] = p
         rows.append(audit(name, p))
 
+    # the minhash verification join is SIZE-GATED (VERDICT r2 #1):
+    # audit BOTH physical shapes — the broadcast path the gate query
+    # takes at small sf, and the semi-restricted shuffle-hash path a
+    # 100 TB corpus takes
+    from minicrawler_spark.operators.dedup import minhash_dup_pairs
+
+    docs_df = spark.read.parquet(sf + "/documents.parquet")
+    for forced, label in ((True, "minhash_verify[broadcast path]"),
+                          (False, "minhash_verify[shuffle-hash path]")):
+        df = minhash_dup_pairs(docs_df, threshold=0.5,
+                               broadcast_verify=forced)
+        p = plan_of(df)
+        plans[label] = p
+        rows.append(audit(label, p))
+
     # the frontier scheduling pipeline (the north-rule path)
     from bench import synthetic_frontier
     from minicrawler_spark.streaming.crawl import _canonicalize_df
@@ -136,6 +151,20 @@ def main():
         )
         if bad:
             f.write("\n**VIOLATIONS:** %s\n" % [r["query"] for r in bad])
+        f.write(
+            "\nSize-gated verification (VERDICT r2 #1): "
+            "`minhash_dup_pairs` picks its verification join by a "
+            "cheap size estimate of the token-hash table. The two "
+            "rows above audit both shapes: the broadcast path "
+            "(small corpora — array payloads attach map-side) and "
+            "the large-corpus path, whose plan LEFT-SEMI restricts "
+            "the token side to candidate doc ids and uses "
+            "ShuffledHashJoin, so the full corpus's token arrays "
+            "never broadcast to the driver nor ride a sort. Both "
+            "paths produce identical pairs "
+            "(tests/test_operators.py::"
+            "test_minhash_dup_pairs_verify_paths_identical).\n"
+        )
         f.write(
             "\nOracle-parity note (round-1 postmortem): the one red "
             "gate row in round 1, q_done_scan, was not a plan or value "

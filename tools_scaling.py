@@ -39,7 +39,12 @@ bench_frontier(spark, 50000)  # warm JVM + python workers
 bench_crawl(spark, 8, 1)      # warm the crawl path
 fr = max((bench_frontier(spark, n) for _ in range(reps)),
          key=lambda r: r["urls_per_sec"])
-cr = max((bench_crawl(spark) for _ in range(reps)),
+# scaling uses a 4x-larger fixture web than the bench headline
+# (512 hosts x 16 pages, ~28k pages): the 6.4k-page bench crawl
+# finishes in seconds and its fixed per-round driver time dominates,
+# which measures Amdahl's constant, not how the fetch/parse work
+# scales — the thing the north rule asks about
+cr = max((bench_crawl(spark, 512, 16) for _ in range(reps)),
          key=lambda r: r["pages_per_sec"])
 print("SCALEOUT " + json.dumps({"cpus": cpus, "frontier": fr, "crawl": cr}))
 """
