@@ -101,6 +101,18 @@ def q_minhash_dup_pairs(spark, sf):
     return D.minhash_dup_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def q_dup_clusters(spark, sf):
+    """Connected components over the verified minhash dup pairs:
+    (doc_id, cluster_id=min doc_id of the component) — the survivor-
+    selection step after pair generation (keep doc_id == cluster_id).
+    To keep the gate fast at sf0.01 the pair graph is built at
+    threshold 0.9 (near-exact dups only; 0.5 yields a ~91k-edge
+    almost-clique on the pathologically self-similar synthetic
+    corpus — a data artifact, not an algorithmic need)."""
+    pairs = D.minhash_dup_pairs(_t(spark, sf, "documents"), threshold=0.9)
+    return D.dup_clusters(pairs)
+
+
 def q_simhash_pairs(spark, sf):
     return D.simhash_dup_pairs(_t(spark, sf, "documents"))
 
@@ -454,6 +466,7 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embed_near_dups": q_embed_near_dups,
     "q_minhash_dup_pairs": q_minhash_dup_pairs,
+    "q_dup_clusters": q_dup_clusters,
     "q_simhash_pairs": q_simhash_pairs,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
@@ -945,6 +958,32 @@ ORACLES = {
         _tokens_sql(),
     ),
 }
+
+
+# connected components over the (threshold-0.9) dup-pair graph: exact
+# transitive closure via a recursive CTE + min aggregate — engine-
+# independent ground truth for the iterative label propagation
+ORACLES["q_dup_clusters"] = """
+  with recursive pairs as (
+    %s
+  ),
+  edges as (
+    select doc_a as src, doc_b as dst from pairs
+    union all
+    select doc_b as src, doc_a as dst from pairs
+  ),
+  nodes as (select distinct src as node from edges),
+  reach(node, label) as (
+    select node, node from nodes
+    union
+    select e.dst, r.label
+    from reach r join edges e on e.src = r.node
+  )
+  select node as doc_id, min(label) as cluster_id
+  from reach group by node
+""" % ORACLES["q_minhash_dup_pairs"].replace(
+    "jaccard >= 0.5", "jaccard >= 0.9"
+)
 
 
 def oracle_sql() -> dict[str, str]:

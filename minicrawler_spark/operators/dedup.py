@@ -28,6 +28,7 @@ __all__ = [
     "simhash",
     "minhash_signatures",
     "minhash_dup_pairs",
+    "dup_clusters",
     "ngram_jaccard_pairs",
     "embedding_near_dups",
 ]
@@ -238,6 +239,69 @@ def minhash_dup_pairs(
         )
     )
     return verified
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-duplicate CLUSTERS from verified dup pairs — the survivor-
+    selection step a real dedup pipeline runs after pair generation:
+    every document in the pair graph gets
+    `cluster_id = min(doc_id in its connected component)`, so "keep
+    one per cluster" is `filter(doc_id == cluster_id)`.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels (one
+    shuffle per round; lineage cut per round with a lazy checkpoint so
+    the plan stays flat). Near-dup components are dense and shallow,
+    so rounds ≈ a few; convergence is detected exactly (count of
+    changed labels, the round's materializing action). For
+    adversarially long chains (diameter ≫ rounds) the scale upgrade is
+    the alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — same API, one
+    more shuffle per round, O(log²) rounds; not needed for dup graphs.
+
+    The DuckDB oracle reproduces this with a recursive-CTE transitive
+    closure + min aggregate (exact, engine-independent)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") < F.col("old"))
+            .count()  # materializes new_labels' checkpoint too
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -57,6 +57,33 @@ def test_minhash_estimates_jaccard(spark):
             assert len({sig_by_id[i] for i in ids}) == 1
 
 
+def test_dup_clusters_connected_components(spark):
+    """Label propagation finds true connected components: a 5-node
+    chain (needs multiple propagation rounds), a triangle, and an
+    isolated pair; cluster_id is the lexicographic min of each
+    component, so keep-one-per-cluster = doc_id == cluster_id."""
+    from minicrawler_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            # chain e-d-c-b-a (reversed order forces propagation hops)
+            ("d", "e"), ("c", "d"), ("b", "c"), ("a", "b"),
+            # triangle
+            ("x", "y"), ("y", "z"), ("x", "z"),
+            # isolated pair
+            ("m", "n"),
+        ],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(pairs).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+        "x": "x", "y": "x", "z": "x",
+        "m": "m", "n": "m",
+    }
+
+
 def test_minhash_dup_pairs_verify_paths_identical(spark):
     """The size-gated verification join must be a pure physical-plan
     choice: the forced shuffle-hash path (what a 100 TB corpus takes)
