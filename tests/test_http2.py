@@ -709,6 +709,50 @@ def test_pyhpack_differential_vs_libnghttp2():
         assert ng_dec.decode(py_enc.encode(headers)) == headers
 
 
+def test_pyhpack_fuzz_differential_vs_libnghttp2():
+    """Property fuzz: any header list libnghttp2 deflates (Huffman,
+    indexing, dynamic-table evolution across a session) must inflate
+    identically through the pure-Python decoder, and the pure-Python
+    encoder's output must inflate identically through libnghttp2."""
+    from hypothesis import given, settings as hsettings, strategies as st
+
+    from minicrawler_spark.sources.http2 import (
+        _load_nghttp2, _NgHpackDecoder, _NgHpackEncoder,
+    )
+    from minicrawler_spark.sources.hpack_py import (
+        PyHpackDecoder, PyHpackEncoder,
+    )
+
+    if not _load_nghttp2():
+        pytest.skip("libnghttp2 not loadable")
+
+    token = st.binary(min_size=0, max_size=40).filter(
+        lambda b: b"\x00" not in b
+    )
+    name = st.one_of(
+        st.sampled_from([b"content-type", b"set-cookie", b":status",
+                         b"etag", b"x-a", b"cache-control"]),
+        token.filter(lambda b: len(b) > 0 and b":" not in b).map(
+            lambda b: b.lower()
+        ),
+    )
+    header = st.tuples(name, token)
+    session = st.lists(st.lists(header, min_size=1, max_size=8),
+                       min_size=1, max_size=5)
+
+    @hsettings(max_examples=60, deadline=None)
+    @given(session)
+    def roundtrip(blocks):
+        ng_enc, py_dec = _NgHpackEncoder(), PyHpackDecoder()
+        py_enc, ng_dec = PyHpackEncoder(), _NgHpackDecoder()
+        for headers in blocks:
+            headers = [(n, v) for n, v in headers]
+            assert py_dec.decode(ng_enc.encode(headers)) == headers
+            assert ng_dec.decode(py_enc.encode(headers)) == headers
+
+    roundtrip()
+
+
 def test_pyhpack_rejects_malformed():
     from minicrawler_spark.sources.hpack_py import (
         HpackError, PyHpackDecoder,
