@@ -1,0 +1,204 @@
+"""WARC sink/source for crawl results (ISO 28500 / WARC 1.1, the
+public web-archive format trainig-data pipelines ingest).
+
+The reference's only sink is its stdout record stream (cli.c:200-319);
+a 100 TB crawl needs a durable, splittable archive instead, so this is
+a north-rule addition: `write_warc` emits one `.warc.gz` per
+partition (each record its own gzip member, the standard layout that
+keeps records individually seekable), `read_warc` loads a directory
+of them back into a typed DataFrame. I/O goes through the same
+pluggable FS layer as the seen filter's bloom sidecars
+(plans/sidecar_fs.py), so executors can target POSIX or s3://-style
+storage alike.
+
+Record shape: `WARC-Type: response` with an
+`application/http;msgtype=response` payload — the result row's raw
+reply head when the crawl kept it (-h/writehead), else a minimal
+synthesized status line + headers, followed by the body. Record IDs
+are content-derived (sha256 urn), not random, so a re-run of the same
+crawl produces byte-identical archives (modulo partitioning) and the
+round-trip is testable.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.sidecar_fs import fs_for
+
+__all__ = ["write_warc", "read_warc", "warc_record_bytes"]
+
+# the crawl's virtual epoch (streaming/crawl.py CRAWL_EPOCH) rendered
+# per record from elapsed_ms; WARC-Date wants ISO-8601 UTC
+_EPOCH = 1_750_000_000  # == streaming.crawl.CRAWL_EPOCH
+
+
+def _iso(ts: int) -> str:
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(
+        ts, dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def warc_record_bytes(url: str, date_iso: str, http_bytes: bytes) -> bytes:
+    """One uncompressed WARC response record (headers + payload +
+    the two mandatory trailing CRLFCRLF)."""
+    rid = hashlib.sha256(
+        url.encode("utf-8", "ignore") + b"\x00" + http_bytes
+    ).hexdigest()
+    head = (
+        "WARC/1.1\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:sha256:%s>\r\n"
+        "WARC-Date: %s\r\n"
+        "WARC-Target-URI: %s\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        "Content-Length: %d\r\n"
+        "\r\n" % (rid, date_iso, url, len(http_bytes))
+    ).encode("utf-8")
+    return head + http_bytes + b"\r\n\r\n"
+
+
+def _http_payload(row) -> bytes:
+    """The record payload: the raw reply head when the crawl kept it,
+    else a synthesized minimal head; body appended either way."""
+    body = bytes(row["body"] or b"")
+    head = row.get("head")
+    if head:
+        head = bytes(head)
+        if not head.endswith(b"\r\n\r\n"):
+            head += b"\r\n\r\n"
+        return head + body
+    status = int(row["status"] or 0)
+    lines = ["HTTP/1.1 %d" % status]
+    if row.get("content_type"):
+        lines.append("Content-Type: %s" % row["content_type"])
+    lines.append("Content-Length: %d" % len(body))
+    return ("\r\n".join(lines) + "\r\n\r\n").encode("latin-1") + body
+
+
+def write_warc(results: DataFrame, out_dir: str, fs=None) -> DataFrame:
+    """Sink: one `part-{pid}-{digest}.warc.gz` per non-empty
+    partition, each record an independent gzip member. Returns the
+    manifest DataFrame (path, n_records, n_bytes) — an action on it
+    performs the write (consistent with DataFrame writer laziness)."""
+    the_fs = fs if fs is not None else fs_for(out_dir)
+    cols = [c for c in ("url", "rawurl", "status", "content_type",
+                        "elapsed_ms", "head", "body")
+            if c in results.columns]
+
+    def stage(batches: Iterator):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        buf = io.BytesIO()
+        n = 0
+        digest = hashlib.sha256()
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                url = row.get("url") or row.get("rawurl") or ""
+                payload = _http_payload(row)
+                rec = warc_record_bytes(
+                    url,
+                    _iso(_EPOCH + int(row.get("elapsed_ms") or 0) // 1000),
+                    payload,
+                )
+                # mtime=0: deterministic gzip member bytes
+                buf.write(gzip.compress(rec, mtime=0))
+                digest.update(rec)
+                n += 1
+        if n == 0:
+            yield pd.DataFrame(
+                {"path": [], "n_records": [], "n_bytes": []}
+            )
+            return
+        data = buf.getvalue()
+        path = "%s/part-%05d-%s.warc.gz" % (
+            out_dir, pid, digest.hexdigest()[:16]
+        )
+        the_fs.makedirs(out_dir)
+        the_fs.write_bytes_atomic(path, data)
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
+        )
+
+    return results.select(*cols).mapInPandas(
+        stage, "path string, n_records long, n_bytes long"
+    )
+
+
+def _parse_warc(data: bytes):
+    """Yield (url, date, status, http_head, body) per response record
+    from an uncompressed WARC stream."""
+    pos = 0
+    while pos < len(data):
+        if data[pos:pos + 5] != b"WARC/":
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        headers = {}
+        for line in data[pos:head_end].decode(
+            "utf-8", "replace"
+        ).split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get("content-length", "0"))
+        payload = data[head_end + 4:head_end + 4 + clen]
+        pos = head_end + 4 + clen + 4  # skip the record's CRLFCRLF
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        date = headers.get("warc-date", "")
+        http_end = payload.find(b"\r\n\r\n")
+        http_head = payload[:http_end] if http_end >= 0 else payload
+        body = payload[http_end + 4:] if http_end >= 0 else b""
+        status = 0
+        first = http_head.split(b"\r\n", 1)[0].split()
+        if len(first) >= 2 and first[1].isdigit():
+            status = int(first[1])
+        yield url, date, status, http_head, body
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Source: a directory (or glob) of .warc.gz files back into
+    (url, warc_date, status, http_head, body, source_file). Reads via
+    Spark's binaryFile source — splitting is per archive file, the
+    standard WARC processing granularity."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(path + ("/*.warc.gz" if not path.endswith(".warc.gz") else ""))
+        .select("path", "content")
+    )
+
+    def stage(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                data = gzip.decompress(bytes(blob))  # all members
+                for url, date, status, head, body in _parse_warc(data):
+                    rows.append(
+                        (url, date, status, head, body, fpath)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_date", "status", "http_head",
+                         "body", "source_file"],
+            )
+
+    return files.mapInPandas(
+        stage,
+        "url string, warc_date string, status int, http_head binary, "
+        "body binary, source_file string",
+    )
