@@ -99,6 +99,20 @@ def parse_robots(text: str, agent: str = DEFAULT_AGENT_TOKEN
     return rules, delay_box[0]
 
 
+def sitemaps_in_robots(text: str) -> List[str]:
+    """`Sitemap:` lines (RFC 9309 §2.3 other-records / sitemaps.org
+    protocol): global, group-independent, absolute URLs."""
+    out: List[str] = []
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        key, sep, value = line.partition(":")
+        if sep and key.strip().lower() == "sitemap":
+            value = value.strip()
+            if value:
+                out.append(value)
+    return out
+
+
 def _pattern_to_regex(pattern: str) -> str:
     """Compile a robots path pattern (`*` wildcard, `$` end-anchor)."""
     anchored = pattern.endswith("$")
