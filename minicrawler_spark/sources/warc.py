@@ -103,17 +103,20 @@ def write_warc(results: DataFrame, out_dir: str, fs=None) -> DataFrame:
         buf = io.BytesIO()
         n = 0
         digest = hashlib.sha256()
+        cdx = []  # (url, ts, offset, length) per record
         for pdf in batches:
             for row in pdf.to_dict("records"):
                 url = row.get("url") or row.get("rawurl") or ""
+                ts = _EPOCH + int(row.get("elapsed_ms") or 0) // 1000
                 payload = _http_payload(row)
-                rec = warc_record_bytes(
-                    url,
-                    _iso(_EPOCH + int(row.get("elapsed_ms") or 0) // 1000),
-                    payload,
-                )
+                rec = warc_record_bytes(url, _iso(ts), payload)
                 # mtime=0: deterministic gzip member bytes
-                buf.write(gzip.compress(rec, mtime=0))
+                member = gzip.compress(rec, mtime=0)
+                cdx.append(
+                    (url, ts, int(row.get("status") or 0),
+                     buf.tell(), len(member))
+                )
+                buf.write(member)
                 digest.update(rec)
                 n += 1
         if n == 0:
@@ -122,11 +125,32 @@ def write_warc(results: DataFrame, out_dir: str, fs=None) -> DataFrame:
             )
             return
         data = buf.getvalue()
-        path = "%s/part-%05d-%s.warc.gz" % (
-            out_dir, pid, digest.hexdigest()[:16]
-        )
+        stem = "part-%05d-%s" % (pid, digest.hexdigest()[:16])
+        path = "%s/%s.warc.gz" % (out_dir, stem)
         the_fs.makedirs(out_dir)
         the_fs.write_bytes_atomic(path, data)
+        # CDXJ sidecar: one JSON line per record with the byte offset
+        # and compressed length of its gzip member — random access
+        # into the archive without scanning it (the pywb/OpenWayback
+        # index convention)
+        lines = []
+        for url, ts, status, off, ln in cdx:
+            import json as _json
+
+            lines.append(
+                "%s %d %s" % (
+                    url, ts,
+                    _json.dumps(
+                        {"offset": off, "length": ln, "status": status,
+                         "filename": stem + ".warc.gz"},
+                        sort_keys=True,
+                    ),
+                )
+            )
+        the_fs.write_bytes_atomic(
+            "%s/%s.cdxj" % (out_dir, stem),
+            ("\n".join(lines) + "\n").encode("utf-8"),
+        )
         yield pd.DataFrame(
             {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
         )

@@ -61,6 +61,25 @@ def test_warc_roundtrip_through_crawl(spark, tmp_path):
         for r in read_warc(spark, out).collect()
     }
     assert got == want
+
+    # CDXJ sidecars: every record addressable by (offset, length) —
+    # seek + single-member gunzip must yield exactly that record
+    import glob as _glob
+    import json as _json
+
+    n_indexed = 0
+    for cdxj in _glob.glob(out + "/*.cdxj"):
+        warc_path = cdxj[:-5] + ".warc.gz"
+        blob = open(warc_path, "rb").read()
+        for line in open(cdxj).read().splitlines():
+            url, _ts, meta = line.split(" ", 2)
+            m = _json.loads(meta)
+            member = blob[m["offset"]:m["offset"] + m["length"]]
+            rec = gzip.decompress(member)
+            u, _d, status, _h, body = next(iter(_parse_warc(rec)))
+            assert u == url and (status, body) == want[url]
+            n_indexed += 1
+    assert n_indexed == len(want)
     # the stored payload head is the crawl's RAW reply head
     one = read_warc(spark, out).first()
     assert bytes(one["http_head"]).startswith(b"HTTP/1.1 ")
