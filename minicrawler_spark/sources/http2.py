@@ -323,6 +323,7 @@ class H2Connection:
         self.closed = False
         self._buf = b""
         self._pending: list = []  # frames read while awaiting window
+        self._recv_debt = 0  # conn-window credit deferred to next use
         self._did_handshake = False
 
     # -- raw io --------------------------------------------------------
@@ -450,6 +451,17 @@ class H2Connection:
                        body: Optional[bytes]):
         if not self._did_handshake:
             yield ("send", self._handshake_bytes())
+        if self._recv_debt:
+            # pay back the connection window consumed by previous
+            # responses' final DATA frames (see the END_STREAM branch)
+            yield (
+                "send",
+                pack_frame(
+                    F_WINDOW_UPDATE, 0, 0,
+                    struct.pack(">I", self._recv_debt),
+                ),
+            )
+            self._recv_debt = 0
         stream_id = self.next_stream
         self.next_stream += 2
 
@@ -571,6 +583,15 @@ class H2Connection:
                     pad = frag[0]
                     frag = frag[1:len(frag) - pad]
                 body_parts.append(frag)
+                if fflags & FLAG_END_STREAM:
+                    # do NOT replenish now: the stream is closed (a
+                    # stream WINDOW_UPDATE would be meaningless) and a
+                    # peer that closes right after its final frame
+                    # would turn our write into a reset; the
+                    # connection-level credit is deferred to the next
+                    # request on this session (_recv_debt)
+                    self._recv_debt += len(payload)
+                    break
                 if len(payload):
                     # replenish both flow-control windows (RFC 9113
                     # §5.2.2); the reference delegates this to nghttp2
@@ -580,8 +601,6 @@ class H2Connection:
                         pack_frame(F_WINDOW_UPDATE, 0, 0, inc)
                         + pack_frame(F_WINDOW_UPDATE, 0, stream_id, inc),
                     )
-                if fflags & FLAG_END_STREAM:
-                    break
             elif ftype == F_RST_STREAM:
                 err = struct.unpack(">I", payload[:4])[0]
                 raise H2Error("stream reset by server (error %d)" % err)

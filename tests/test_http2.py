@@ -904,6 +904,112 @@ def test_h2_upload_respects_peer_flow_window(tmp_path, h2_env):
     assert raw.endswith(b"got:%d" % len(body))
 
 
+def test_h2_upload_flow_window_async_driver(tmp_path, h2_env):
+    """The asyncio fetcher drives the SAME sans-io h2 core: a 100 KB
+    POST through http_fetcher_async must stall at the 65535 window
+    and complete via WINDOW_UPDATE grants, zero violations."""
+    import asyncio
+    import socket as _socket
+    import ssl as _ssl
+    import struct as _struct
+
+    from minicrawler_spark.sources.http2 import (
+        F_DATA as _FD, F_HEADERS as _FH, F_SETTINGS as _FS,
+    )
+    from minicrawler_spark.sources.httpfetch import (
+        AsyncFetchContext, http_fetcher_async,
+    )
+
+    key, crt = _mk_cert(tmp_path)
+    ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(crt, key)
+    ctx.set_alpn_protocols(["h2"])
+    lsock = _socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    state = {"got": 0, "violations": [], "errors": []}
+
+    def read_exact(tls, n):
+        buf = b""
+        while len(buf) < n:
+            d = tls.recv(n - len(buf))
+            if not d:
+                raise ConnectionError("client closed")
+            buf += d
+        return buf
+
+    def read_frame(tls):
+        hdr = read_exact(tls, 9)
+        ln = _struct.unpack(">I", b"\x00" + hdr[:3])[0]
+        return (hdr[3], hdr[4],
+                _struct.unpack(">I", hdr[5:9])[0] & 0x7FFFFFFF,
+                read_exact(tls, ln) if ln else b"")
+
+    def serve():
+        try:
+            conn, _ = lsock.accept()
+            tls = ctx.wrap_socket(conn, server_side=True)
+            assert read_exact(tls, len(PREFACE)) == PREFACE
+            tls.sendall(pack_frame(_FS, 0, 0, b""))
+            outstanding = 0
+            sid = None
+            import time as _t
+            while True:
+                ftype, flags, fsid, payload = read_frame(tls)
+                if ftype == _FS and not (flags & FLAG_ACK):
+                    tls.sendall(pack_frame(_FS, FLAG_ACK, 0))
+                elif ftype == _FH:
+                    sid = fsid
+                elif ftype == _FD and fsid == sid:
+                    outstanding += len(payload)
+                    state["got"] += len(payload)
+                    if outstanding > 65535:
+                        state["violations"].append(outstanding)
+                    if flags & FLAG_END_STREAM:
+                        break
+                    _t.sleep(0.02)
+                    inc = _struct.pack(">I", len(payload))
+                    tls.sendall(
+                        pack_frame(F_WINDOW_UPDATE, 0, 0, inc)
+                        + pack_frame(F_WINDOW_UPDATE, 0, sid, inc)
+                    )
+                    outstanding -= len(payload)
+            enc = HpackEncoder()
+            block = enc.encode([(b":status", b"200")])
+            tls.sendall(
+                pack_frame(_FH, FLAG_END_HEADERS, sid, block)
+                + pack_frame(_FD, FLAG_END_STREAM, sid,
+                             b"agot:%d" % state["got"])
+            )
+        except Exception as e:
+            state["errors"].append(repr(e))
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    body = bytes(range(256)) * 400  # 102400 > 65535
+
+    async def go():
+        actx = AsyncFetchContext()
+        try:
+            return await http_fetcher_async(
+                "POST", "https://127.0.0.1:%d/up" % port,
+                {"Host": "x", "Content-Length": str(len(body))}, body,
+                ctx=actx,
+            )
+        finally:
+            await actx.close()
+
+    try:
+        raw, _ = asyncio.run(go())
+    finally:
+        lsock.close()
+    assert state["errors"] == []
+    assert state["violations"] == []
+    assert state["got"] == len(body)
+    assert raw.endswith(b"agot:%d" % len(body))
+
+
 def test_h2_goaway_maps_to_error(tmp_path, h2_env):
     """A GOAWAY with an error code mid-stream surfaces as an OSError
     (engine maps it to the Connection-failed record), not a hang."""
