@@ -114,6 +114,11 @@ def parse_argv(argv):
             i += 1
         elif a == "--fixture":
             fixture = True
+        elif a == "--warc":
+            # ADDITION beyond the reference grammar: also archive the
+            # results as .warc.gz (+ .cdxj index) under this directory
+            settings_kw["_warc_dir"] = next_arg(i)
+            i += 1
         elif a == "-P":
             pending["post"] = next_arg(i).encode()
             pending.setdefault("method", "POST")
@@ -180,8 +185,23 @@ def main(argv=None) -> int:
         fetcher = "minicrawler_spark.sources.httpfetch:http_fetcher"
         real_time = True
 
+    warc_dir = settings_kw.pop("_warc_dir", None)
     settings = CrawlSettings(real_time=real_time, **settings_kw)
     results = crawl(spark, seeds, settings, fetcher_spec=fetcher)
+    if warc_dir:
+        from .sources.warc import write_warc
+
+        results = results.localCheckpoint(eager=True)  # one crawl, two sinks
+        manifest = write_warc(results, warc_dir).collect()
+        print(
+            "warc: %d records in %d archive(s) under %s"
+            % (
+                sum(m["n_records"] for m in manifest),
+                len(manifest),
+                warc_dir,
+            ),
+            file=sys.stderr,
+        )
     sys.stdout.buffer.write(to_text(results, writehead=writehead))
     sys.stdout.buffer.flush()
     spark.stop()

@@ -96,3 +96,28 @@ def test_truncated_value_option_is_usage_error():
     # -C at end of argv with a pending -w header is also truncated
     with pytest.raises(UsageError):
         parse_argv(["-w", "X-K: %", "-C"])
+
+
+def test_cli_warc_flag(tmp_path):
+    """--warc DIR (addition beyond the reference grammar): the same
+    crawl also lands as .warc.gz + .cdxj archives."""
+    import glob
+    import gzip
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYSPARK_PYTHON"] = sys.executable
+    out_dir = str(tmp_path / "archive")
+    proc = subprocess.run(
+        [sys.executable, "-m", "minicrawler_spark.cli", "--fixture",
+         "-t600", "--warc", out_dir, "http://host0.test/page/0"],
+        cwd=ROOT, env=env, capture_output=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "URL: http://host0.test/page/0" in proc.stdout.decode()
+    assert "warc: 1 records" in proc.stderr.decode()
+    warcs = glob.glob(out_dir + "/*.warc.gz")
+    assert len(warcs) == 1
+    rec = gzip.decompress(open(warcs[0], "rb").read())
+    assert b"WARC-Target-URI: http://host0.test/page/0" in rec
+    assert glob.glob(out_dir + "/*.cdxj")
