@@ -145,6 +145,12 @@ def q_fingerprint(spark, sf):
     return T.fingerprint(_t(spark, sf, "documents"))
 
 
+def q_repetition(spark, sf):
+    """Gopher-style repetition filters (dup lines / dup line chars /
+    top-bigram fraction) per document."""
+    return T.repetition_stats(_t(spark, sf, "documents"))
+
+
 def q_politeness_lag(spark, sf):
     """Per-host politeness window (SURVEY §2.6): gap to the previous
     fetch of the same host (user_id stands in for host)."""
@@ -475,6 +481,7 @@ QUERIES = {
     "q_quality": q_quality,
     "q_lang_guess": q_lang_guess,
     "q_fingerprint": q_fingerprint,
+    "q_repetition": q_repetition,
     "q_politeness_lag": q_politeness_lag,
     "q_cookie_upsert": q_cookie_upsert,
     "q_seen_antijoin": q_seen_antijoin,
@@ -958,6 +965,50 @@ ORACLES = {
         _tokens_sql(),
     ),
 }
+
+
+ORACLES["q_repetition"] = """
+  with l as (
+    select doc_id,
+           list_filter(string_split(text, chr(10)), x -> x <> '') as lines
+    from documents
+  ),
+  le as (select doc_id, unnest(lines) as line from l),
+  pl as (
+    select doc_id, line, count(*) as cnt, length(line) as ln
+    from le group by doc_id, line
+  ),
+  pd as (
+    select doc_id, sum(cnt)::bigint as n_lines,
+           count(*)::bigint as n_distinct,
+           sum(ln * cnt)::bigint as chars_all,
+           sum(ln)::bigint as chars_dist
+    from pl group by doc_id
+  ),
+  t as (select doc_id, %s as toks from documents),
+  g as (
+    select doc_id,
+           [toks[i] || '_' || toks[i+1]
+            for i in range(1, len(toks))] as grams
+    from t
+  ),
+  ge as (select doc_id, unnest(grams) as gr from g),
+  gc as (select doc_id, gr, count(*) as c from ge group by doc_id, gr),
+  gt as (
+    select doc_id, round(max(c)::double / sum(c), 6) as top_bigram_frac
+    from gc group by doc_id
+  )
+  select d.doc_id,
+         coalesce(n_lines, 0) as n_lines,
+         round(coalesce((n_lines - n_distinct)::double
+               / greatest(n_lines, 1), 0), 6) as dup_line_frac,
+         round(coalesce((chars_all - chars_dist)::double
+               / greatest(chars_all, 1), 0), 6) as dup_line_char_frac,
+         coalesce(gt.top_bigram_frac, 0.0) as top_bigram_frac
+  from documents d
+  left join pd on pd.doc_id = d.doc_id
+  left join gt on gt.doc_id = d.doc_id
+""" % _tokens_sql()
 
 
 # connected components over the (threshold-0.9) dup-pair graph: exact

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from .dedup import tokenize, _word_ngrams
 
-__all__ = ["STOPWORDS", "token_stats", "quality_score", "lang_guess", "fingerprint"]
+__all__ = ["STOPWORDS", "token_stats", "quality_score", "lang_guess", "fingerprint", "repetition_stats"]
 
 # tiny per-language stopword lists (shared verbatim with the SQL oracle)
 STOPWORDS = {
@@ -122,5 +122,71 @@ def fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
         .select(
             "doc_id", "fp_min", "fp_max",
             F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition-based quality filters — the public Gopher/Dolma
+    heuristics for machine-generated or boilerplate text (Rae et al.
+    2021, "Scaling Language Models", App. A1.1): per document,
+
+    - n_lines: non-empty lines,
+    - dup_line_frac: fraction of lines that are repeats of an
+      earlier line ((n_lines - distinct)/n_lines),
+    - dup_line_char_frac: fraction of line characters inside those
+      repeats,
+    - top_bigram_frac: occurrences of the most frequent word bigram
+      over all bigram occurrences.
+
+    All relational (explode -> two-level aggregate; one shuffle per
+    stat family, no higher-order lambdas in the hot path) and mirrored
+    verbatim by the DuckDB oracle (q_repetition)."""
+    from .dedup import word_ngram_rows
+
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda l: l != "")
+    exploded = docs.select("doc_id", F.explode(lines).alias("line"))
+    per_line = exploded.groupBy("doc_id", "line").agg(
+        F.count("*").alias("cnt"), F.first(F.length("line")).alias("ln")
+    )
+    per_doc = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("ln") * F.col("cnt")).alias("chars_all"),
+        F.sum("ln").alias("chars_dist"),
+    )
+    grams = word_ngram_rows(docs, 2)
+    gram_counts = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").alias("c")
+    )
+    top = gram_counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(
+                F.coalesce(
+                    (F.col("n_lines") - F.col("n_distinct"))
+                    / F.greatest(F.col("n_lines"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(
+                    (F.col("chars_all") - F.col("chars_dist"))
+                    / F.greatest(F.col("chars_all"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
         )
     )

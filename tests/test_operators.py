@@ -471,6 +471,42 @@ def test_jpeg_decode_real_bytes():
             _decode_jpeg(bad)
 
 
+def test_repetition_stats_known_values(spark):
+    """Gopher repetition filters on hand-built docs with known
+    answers (repeated lines, dominant bigram, degenerate cases)."""
+    import pytest as _pytest
+
+    from minicrawler_spark.operators.textstats import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" twice -> 1 repeated line of 7 chars;
+            # line chars: 7+7+5+9=28; dup chars = 7
+            ("a", "dup dup\ndup dup\nonce1\nsomething"),
+            # no repetition at all
+            ("b", "alpha beta\ngamma delta"),
+            # empty doc
+            ("c", ""),
+            # bigram "go go" dominates: tokens go x4 -> bigram go_go x3
+            ("d", "go go go go stop"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    a = got["a"]
+    assert a["n_lines"] == 4
+    assert a["dup_line_frac"] == _pytest.approx(0.25)
+    assert a["dup_line_char_frac"] == _pytest.approx(7 / 28, abs=1e-6)
+    b = got["b"]
+    assert b["dup_line_frac"] == 0.0
+    assert b["dup_line_char_frac"] == 0.0
+    c = got["c"]
+    assert c["n_lines"] == 0 and c["top_bigram_frac"] == 0.0
+    dd = got["d"]
+    # bigrams: go_go, go_go, go_go, go_stop -> top 3/4
+    assert dd["top_bigram_frac"] == _pytest.approx(0.75)
+
+
 def test_gif_and_webp_dimension_decode():
     """GIF and WebP headers decode for real: logical-screen / frame
     dimensions off the documented byte layouts, corrupt input
