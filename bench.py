@@ -183,6 +183,7 @@ def main():
         "q_url_canonicalize",
         "q_ip_politeness",
         "q_host_sessions",
+        "q_repetition",
         # The heavy one: the synthetic corpus is pathologically
         # self-similar (73% of ALL doc pairs clear jaccard 0.5), so
         # its OUTPUT is ~9M verified pairs at sf0.1 — a data artifact.
