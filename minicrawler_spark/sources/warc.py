@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..plans.sidecar_fs import fs_for
 
-__all__ = ["write_warc", "read_warc", "warc_record_bytes"]
+__all__ = ["write_warc", "read_warc", "warc_record_bytes", "warc_to_documents"]
 
 # the crawl's virtual epoch (streaming/crawl.py CRAWL_EPOCH) rendered
 # per record from elapsed_ms; WARC-Date wants ISO-8601 UTC
@@ -225,4 +225,55 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         stage,
         "url string, warc_date string, status int, http_head binary, "
         "body binary, source_file string",
+    )
+
+
+def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Archives -> the documents-table shape every training-data
+    operator consumes: (doc_id, text, lang, n_chars) from each 2xx
+    response's body via the engine's own pipeline — charset detect +
+    convert (functions/html2text), interleaved-span conversion for
+    HTML, raw UTF-8 for text/*. This closes the loop: crawl ->
+    .warc.gz -> documents -> dedup/quality/clusters run unchanged on
+    archived corpora."""
+    recs = read_warc(spark, path)
+
+    def stage(batches: Iterator):
+        import pandas as pd
+
+        from ..functions.html2text import (
+            convert_charset,
+            detect_charset_from_html,
+            to_spans,
+        )
+        from ..operators.textstats import lang_guess  # noqa: F401 (doc)
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                if not (200 <= int(r["status"] or 0) < 300):
+                    continue
+                body = bytes(r["body"] or b"")
+                head = bytes(r["http_head"] or b"").decode(
+                    "latin-1", "replace"
+                ).lower()
+                is_html = "content-type:" in head and "html" in head
+                charset = detect_charset_from_html(body) or "utf-8"
+                conv = convert_charset(body, charset)
+                if conv is not None:
+                    body = conv
+                if is_html:
+                    spans, _links = to_spans(body)
+                    text = "".join(
+                        s["text"] for s in spans if s["kind"] == "text"
+                    )
+                else:
+                    text = body.decode("utf-8", "replace")
+                rows.append((r["url"], text, len(text)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "n_chars"]
+            )
+
+    return recs.mapInPandas(
+        stage, "doc_id string, text string, n_chars long"
     )

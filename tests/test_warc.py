@@ -85,6 +85,44 @@ def test_warc_roundtrip_through_crawl(spark, tmp_path):
     assert bytes(one["http_head"]).startswith(b"HTTP/1.1 ")
 
 
+def test_warc_to_documents_pipeline(spark, tmp_path):
+    """Archive -> documents-table adapter: text extracted from the
+    archived HTML equals the engine's own span text for the same
+    pages, and the result feeds the training-data operators
+    unchanged (crawl -> warc -> documents -> exact_dedup)."""
+    from minicrawler_spark.operators.dedup import exact_dedup
+    from minicrawler_spark.sources.warc import warc_to_documents
+
+    out = str(tmp_path / "warc")
+    res = crawl(
+        spark,
+        ["http://host%d.test/page/0" % i for i in range(4)],
+        CrawlSettings(timeout=600, writehead=True, convert_to_text=True),
+    )
+    done = res.filter("outcome = 'done'")
+    want_text = {
+        r["url"]: "".join(
+            s["text"] for s in (r["spans"] or []) if s["kind"] == "text"
+        )
+        for r in done.collect()
+    }
+    # archive the RAW crawl (body as fetched; writehead keeps the head)
+    raw = crawl(
+        spark,
+        ["http://host%d.test/page/0" % i for i in range(4)],
+        CrawlSettings(timeout=600, writehead=True),
+    ).filter("outcome = 'done'")
+    write_warc(raw, out).collect()
+
+    docs = warc_to_documents(spark, out)
+    got = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got == want_text
+    assert all(r["n_chars"] == len(got[r["doc_id"]])
+               for r in docs.collect())
+    # operators consume it directly
+    assert exact_dedup(docs).count() == len(want_text)
+
+
 def test_warc_write_through_fs_shim(spark, tmp_path):
     """The sink honors the pluggable FS (executors pickle it)."""
     from tests.test_seen_scale import _SlowShimFS
