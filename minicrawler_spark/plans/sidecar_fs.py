@@ -34,6 +34,14 @@ class LocalFS:
         with open(path, "rb") as f:
             return f.read()
 
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        """Ranged read — seek + read exactly `length` bytes. The WARC
+        CDXJ reader uses this to fetch single gzip members without
+        scanning the archive."""
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
         tmp = os.path.join(
             os.path.dirname(path), ".tmp-%s" % uuid.uuid4().hex[:8]
@@ -50,6 +58,18 @@ class LocalFS:
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
+
+    def listdir(self, path: str) -> list:
+        """Entry NAMES (not paths) in a directory; [] if absent."""
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def remove_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
 
 class FsspecFS:
@@ -85,6 +105,12 @@ class FsspecFS:
     def read_bytes(self, path: str) -> bytes:
         return self._filesystem().cat_file(path)
 
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        # object stores serve this as one HTTP Range GET
+        return self._filesystem().cat_file(
+            path, start=offset, end=offset + length
+        )
+
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
         # single-object PUT is atomic on object stores; for fs-like
         # protocols fsspec's pipe_file is a create-then-publish
@@ -98,6 +124,20 @@ class FsspecFS:
 
     def exists(self, path: str) -> bool:
         return self._filesystem().exists(path)
+
+    def listdir(self, path: str) -> list:
+        fs = self._filesystem()
+        if not fs.exists(path):
+            return []
+        return sorted(
+            p.rstrip("/").rsplit("/", 1)[-1]
+            for p in fs.ls(path, detail=False)
+        )
+
+    def remove_tree(self, path: str) -> None:
+        fs = self._filesystem()
+        if fs.exists(path):
+            fs.rm(path, recursive=True)
 
 
 def fs_for(path: str):

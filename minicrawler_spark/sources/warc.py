@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 from ..plans.sidecar_fs import fs_for
 
-__all__ = ["write_warc", "read_warc", "warc_record_bytes", "warc_to_documents"]
+__all__ = [
+    "write_warc", "read_warc", "read_cdxj", "read_warc_records",
+    "warc_record_bytes", "warc_to_documents",
+]
 
 # the crawl's virtual epoch (streaming/crawl.py CRAWL_EPOCH) rendered
 # per record from elapsed_ms; WARC-Date wants ISO-8601 UTC
@@ -84,26 +87,82 @@ def _http_payload(row) -> bytes:
     return ("\r\n".join(lines) + "\r\n\r\n").encode("latin-1") + body
 
 
-def write_warc(results: DataFrame, out_dir: str, fs=None) -> DataFrame:
-    """Sink: one `part-{pid}-{digest}.warc.gz` per non-empty
-    partition, each record an independent gzip member. Returns the
-    manifest DataFrame (path, n_records, n_bytes) — an action on it
-    performs the write (consistent with DataFrame writer laziness)."""
+def write_warc(
+    results: DataFrame,
+    out_dir: str,
+    fs=None,
+    max_archive_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Sink: size-capped `part-{pid}-{seq}-{digest}.warc.gz` archives
+    per partition, each record an independent gzip member. The writer
+    ROLLS to a new archive whenever the in-memory buffer crosses
+    `max_archive_bytes` (default 1 GiB — the conventional WARC roll
+    size), so peak executor memory is bounded by the cap plus one
+    record regardless of partition size: a partition of tens of GiB of
+    pages streams out as many ~1 GiB files instead of one
+    partition-sized buffer. Each rolled file gets its own CDXJ offset
+    index. Returns the manifest DataFrame (one row per rolled file:
+    path, n_records, n_bytes) — an action on it performs the write
+    (consistent with DataFrame writer laziness)."""
     the_fs = fs if fs is not None else fs_for(out_dir)
     cols = [c for c in ("url", "rawurl", "status", "content_type",
                         "elapsed_ms", "head", "body")
             if c in results.columns]
 
     def stage(batches: Iterator):
+        import json as _json
+
         import pandas as pd
         from pyspark import TaskContext
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
+        the_fs.makedirs(out_dir)
+        out_rows = []  # (path, n_records, n_bytes) per rolled file
         buf = io.BytesIO()
         n = 0
+        seq = 0
         digest = hashlib.sha256()
-        cdx = []  # (url, ts, offset, length) per record
+        cdx = []  # (url, ts, status, offset, length) per record
+
+        def flush():
+            """Publish the current buffer as one archive + its CDXJ
+            sidecar, then reset for the next roll."""
+            nonlocal buf, n, seq, digest, cdx
+            if n == 0:
+                return
+            stem = "part-%05d-%04d-%s" % (
+                pid, seq, digest.hexdigest()[:16]
+            )
+            path = "%s/%s.warc.gz" % (out_dir, stem)
+            # getbuffer(): hand the FS a zero-copy view, not a copy
+            the_fs.write_bytes_atomic(path, buf.getbuffer())
+            # CDXJ sidecar: one JSON line per record with the byte
+            # offset and compressed length of its gzip member — random
+            # access into the archive without scanning it (the pywb/
+            # OpenWayback index convention)
+            lines = [
+                "%s %d %s" % (
+                    url, ts,
+                    _json.dumps(
+                        {"offset": off, "length": ln, "status": status,
+                         "filename": stem + ".warc.gz"},
+                        sort_keys=True,
+                    ),
+                )
+                for url, ts, status, off, ln in cdx
+            ]
+            the_fs.write_bytes_atomic(
+                "%s/%s.cdxj" % (out_dir, stem),
+                ("\n".join(lines) + "\n").encode("utf-8"),
+            )
+            out_rows.append((path, n, buf.tell()))
+            buf = io.BytesIO()
+            n = 0
+            seq += 1
+            digest = hashlib.sha256()
+            cdx = []
+
         for pdf in batches:
             for row in pdf.to_dict("records"):
                 url = row.get("url") or row.get("rawurl") or ""
@@ -119,40 +178,11 @@ def write_warc(results: DataFrame, out_dir: str, fs=None) -> DataFrame:
                 buf.write(member)
                 digest.update(rec)
                 n += 1
-        if n == 0:
-            yield pd.DataFrame(
-                {"path": [], "n_records": [], "n_bytes": []}
-            )
-            return
-        data = buf.getvalue()
-        stem = "part-%05d-%s" % (pid, digest.hexdigest()[:16])
-        path = "%s/%s.warc.gz" % (out_dir, stem)
-        the_fs.makedirs(out_dir)
-        the_fs.write_bytes_atomic(path, data)
-        # CDXJ sidecar: one JSON line per record with the byte offset
-        # and compressed length of its gzip member — random access
-        # into the archive without scanning it (the pywb/OpenWayback
-        # index convention)
-        lines = []
-        for url, ts, status, off, ln in cdx:
-            import json as _json
-
-            lines.append(
-                "%s %d %s" % (
-                    url, ts,
-                    _json.dumps(
-                        {"offset": off, "length": ln, "status": status,
-                         "filename": stem + ".warc.gz"},
-                        sort_keys=True,
-                    ),
-                )
-            )
-        the_fs.write_bytes_atomic(
-            "%s/%s.cdxj" % (out_dir, stem),
-            ("\n".join(lines) + "\n").encode("utf-8"),
-        )
+                if buf.tell() >= max_archive_bytes:
+                    flush()
+        flush()
         yield pd.DataFrame(
-            {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
+            out_rows, columns=["path", "n_records", "n_bytes"]
         )
 
     return results.select(*cols).mapInPandas(
@@ -193,35 +223,142 @@ def _parse_warc(data: bytes):
         yield url, date, status, http_head, body
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def _iter_members(blob: bytes):
+    """Walk a multi-member gzip stream yielding one uncompressed
+    member at a time — O(total) with bounded copies (the archive is
+    never inflated whole: peak memory is one record + one 1 MiB input
+    chunk, which is what lets read_warc handle 1 GiB rolled
+    archives)."""
+    import zlib
+
+    chunk_size = 1 << 20
+    total = len(blob)
+    pos = 0
+    while pos < total:
+        d = zlib.decompressobj(47)  # gzip wrapper, one member
+        out = []
+        mpos = pos
+        while not d.eof and mpos < total:
+            chunk = blob[mpos:mpos + chunk_size]
+            out.append(d.decompress(chunk))
+            mpos += len(chunk)
+        if not d.eof:
+            break  # truncated final member: stop, like gzip does
+        pos = mpos - len(d.unused_data)
+        yield b"".join(out)
+
+
+def read_warc(spark: SparkSession, path: str,
+              batch_records: int = 256) -> DataFrame:
     """Source: a directory (or glob) of .warc.gz files back into
     (url, warc_date, status, http_head, body, source_file). Reads via
     Spark's binaryFile source — splitting is per archive file, the
-    standard WARC processing granularity."""
+    standard WARC processing granularity. Records stream out of the
+    member walk in `batch_records`-sized Arrow batches, so the
+    uncompressed archive is never held whole in memory."""
     files = (
         spark.read.format("binaryFile")
         .load(path + ("/*.warc.gz" if not path.endswith(".warc.gz") else ""))
         .select("path", "content")
     )
+    cols = ["url", "warc_date", "status", "http_head", "body",
+            "source_file"]
+
+    def stage(batches: Iterator):
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                for rec in _iter_members(bytes(blob)):
+                    for url, date, status, head, body in _parse_warc(rec):
+                        rows.append(
+                            (url, date, status, head, body, fpath)
+                        )
+                    if len(rows) >= batch_records:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        stage,
+        "url string, warc_date string, status int, http_head binary, "
+        "body binary, source_file string",
+    )
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """The CDXJ sidecar indexes of an archive directory as a
+    DataFrame: (url, ts, status, offset, length, filename, dir) —
+    one row per archived record, distributed, no archive bytes
+    touched."""
+    line = F.split(F.col("value"), " ", 3)
+    meta = F.from_json(
+        line.getItem(2),
+        "offset long, length long, status int, filename string",
+    )
+    return (
+        spark.read.text(
+            path + ("/*.cdxj" if not path.endswith(".cdxj") else "")
+        )
+        .filter(F.length("value") > 0)
+        .select(
+            line.getItem(0).alias("url"),
+            line.getItem(1).cast("long").alias("ts"),
+            meta.alias("m"),
+            F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), r"/[^/]+$", ""),
+                r"^file:(//)?", "",
+            ).alias("dir"),
+        )
+        .select("url", "ts", F.col("m.status").alias("status"),
+                F.col("m.offset").alias("offset"),
+                F.col("m.length").alias("length"),
+                F.col("m.filename").alias("filename"), "dir")
+    )
+
+
+def read_warc_records(
+    spark: SparkSession,
+    path: str,
+    selector=None,
+    fs=None,
+) -> DataFrame:
+    """Random access into rolled archives via the CDXJ index: read
+    the sidecar indexes (distributed, tiny), filter them with
+    `selector` (a pyspark Column predicate over url/ts/status, or a
+    callable DataFrame -> DataFrame), then fetch ONLY the selected
+    records' gzip members with (offset, length) ranged reads through
+    the pluggable FS — on an object store each record is one HTTP
+    Range GET; nothing else of the archive is transferred. This is
+    what the index is for at archive scale: pulling k records out of
+    a 100 TB collection costs k ranged reads, not a scan."""
+    the_fs = fs if fs is not None else fs_for(path)
+    idx = read_cdxj(spark, path)
+    if selector is not None:
+        idx = selector(idx) if callable(selector) else idx.filter(selector)
 
     def stage(batches: Iterator):
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for fpath, blob in zip(pdf["path"], pdf["content"]):
-                data = gzip.decompress(bytes(blob))  # all members
-                for url, date, status, head, body in _parse_warc(data):
-                    rows.append(
-                        (url, date, status, head, body, fpath)
-                    )
+            for r in pdf.to_dict("records"):
+                fpath = "%s/%s" % (r["dir"], r["filename"])
+                member = the_fs.read_range(
+                    fpath, int(r["offset"]), int(r["length"])
+                )
+                for url, date, status, head, body in _parse_warc(
+                    gzip.decompress(member)
+                ):
+                    rows.append((url, date, status, head, body, fpath))
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_date", "status", "http_head",
                          "body", "source_file"],
             )
 
-    return files.mapInPandas(
+    return idx.mapInPandas(
         stage,
         "url string, warc_date string, status int, http_head binary, "
         "body binary, source_file string",

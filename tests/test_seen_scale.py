@@ -144,6 +144,28 @@ class _SlowShimFS:
         self._tick("mkdir")
         os.makedirs(path, exist_ok=True)
 
+    def read_range(self, path, offset, length):
+        self._tick("read")
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    def exists(self, path):
+        return os.path.exists(path)
+
+    def listdir(self, path):
+        self._tick("read")
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def remove_tree(self, path):
+        import shutil
+
+        self._tick("rm")
+        shutil.rmtree(path, ignore_errors=True)
+
     def __getstate__(self):
         # counters stay driver-side; executors get a fresh shim
         return {"delay": self.delay}

@@ -123,6 +123,129 @@ def test_warc_to_documents_pipeline(spark, tmp_path):
     assert exact_dedup(docs).count() == len(want_text)
 
 
+def test_warc_rolls_at_size_cap(spark, tmp_path):
+    """VERDICT r3 #1: a partition whose archive exceeds
+    max_archive_bytes must roll into multiple part files with bounded
+    peak buffer, each file individually indexed, and the record set
+    must round-trip byte-identically."""
+    import glob as _glob
+
+    out = str(tmp_path / "warc")
+    # one partition, incompressible bodies ~8 KiB each -> with a
+    # 20 KiB cap the writer must roll every ~2-3 records
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        ("http://roll.test/p/%d" % i, 200, "text/plain", i * 1000,
+         bytes(rnd.randrange(256) for _ in range(8192)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, status int, content_type string, "
+              "elapsed_ms long, body binary"
+    ).coalesce(1)
+    cap = 20 * 1024
+    manifest = write_warc(df, out, max_archive_bytes=cap).collect()
+    assert len(manifest) >= 4  # rolled, not one partition-sized file
+    assert sum(m["n_records"] for m in manifest) == len(rows)
+    # bounded peak: every rolled file crossed the cap by at most one
+    # member (the roll happens right after the record that crosses)
+    for m in manifest[:-1]:
+        assert m["n_bytes"] < cap + 16 * 1024
+    # every file has its own cdxj naming it
+    for m in manifest:
+        cdxj = m["path"][: -len(".warc.gz")] + ".cdxj"
+        assert os.path.exists(cdxj)
+        assert sum(1 for _ in open(cdxj)) == m["n_records"]
+    assert len(_glob.glob(out + "/*.warc.gz")) == len(manifest)
+    # round-trip: all records, byte-exact bodies, across the rolls
+    got = {
+        r["url"]: bytes(r["body"])
+        for r in read_warc(spark, out).collect()
+    }
+    assert got == {u: b for u, _s, _c, _e, b in rows}
+
+
+def test_warc_cdxj_random_access_reads_only_selected_bytes(
+    spark, tmp_path
+):
+    """VERDICT r3 #4: read_warc_records must fetch ONLY the selected
+    records' gzip members via ranged reads — counted through an FS
+    shim that logs every read_range to a cross-process file."""
+    import glob as _glob
+    import json as _json
+
+    from minicrawler_spark.sources.warc import (
+        read_cdxj,
+        read_warc_records,
+    )
+
+    out = str(tmp_path / "warc")
+    log = str(tmp_path / "ranges.log")
+
+    class _RangeLogFS:
+        """LocalFS + an append-only log of ranged reads (file-based:
+        executor workers are separate processes)."""
+
+        def __init__(self, log_path):
+            self.log_path = log_path
+
+        def read_range(self, path, offset, length):
+            with open(self.log_path, "a") as f:
+                f.write("%s %d %d\n" % (path, offset, length))
+            with open(path, "rb") as f:
+                f.seek(offset)
+                return f.read(length)
+
+        def read_bytes(self, path):
+            raise AssertionError("selective reader must use read_range")
+
+    rows = [
+        ("http://sel.test/p/%d" % i, 200 if i % 3 else 404,
+         "text/plain", 0, ("body-%d-" % i).encode() * 50)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, status int, content_type string, "
+              "elapsed_ms long, body binary"
+    ).repartition(3)
+    write_warc(df, out).collect()
+
+    import pyspark.sql.functions as F
+
+    sel = F.col("url").isin(
+        "http://sel.test/p/4", "http://sel.test/p/11"
+    )
+    got = read_warc_records(
+        spark, out, selector=sel, fs=_RangeLogFS(log)
+    ).collect()
+    assert sorted(r["url"] for r in got) == [
+        "http://sel.test/p/11", "http://sel.test/p/4"
+    ]
+    # bodies match the full-scan reader's for the same urls
+    full = {
+        r["url"]: bytes(r["body"]) for r in read_warc(spark, out).collect()
+    }
+    for r in got:
+        assert bytes(r["body"]) == full[r["url"]]
+    # exactly 2 ranged reads, of exactly the 2 indexed member lengths
+    reads = [ln.split() for ln in open(log).read().splitlines()]
+    assert len(reads) == 2
+    want_lens = []
+    for cdxj in _glob.glob(out + "/*.cdxj"):
+        for line in open(cdxj).read().splitlines():
+            url, _ts, meta = line.split(" ", 2)
+            if url in ("http://sel.test/p/4", "http://sel.test/p/11"):
+                want_lens.append(int(_json.loads(meta)["length"]))
+    assert sorted(int(ln) for _p, _o, ln in reads) == sorted(want_lens)
+    # the index DataFrame itself is queryable (status/time filters)
+    idx = read_cdxj(spark, out)
+    assert idx.filter("status = 404").count() == sum(
+        1 for _u, s, _c, _e, _b in rows if s == 404
+    )
+
+
 def test_warc_write_through_fs_shim(spark, tmp_path):
     """The sink honors the pluggable FS (executors pickle it)."""
     from tests.test_seen_scale import _SlowShimFS
