@@ -108,9 +108,161 @@ def _decode_png(data: bytes):
 
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
     """Reverse the per-scanline PNG filters (None/Sub/Up/Average/
-    Paeth, RFC 2083 §6) to recover raw pixel bytes."""
+    Paeth, RFC 2083 §6) to recover raw pixel bytes — numpy-
+    vectorized (VERDICT r3 #2; the per-byte loop survives as
+    `_unfilter_scalar`, the differential-test reference).
+
+    Strategy, per maximal run of consecutive rows sharing a filter:
+    - None: block copy.
+    - Sub:  recon[i] = filt[i] + recon[i-bpp] is, per byte-lane
+            mod bpp, a prefix sum mod 256 — one uint8 cumsum along
+            the row's blocks, all rows of the run at once.
+    - Up:   recon_r = prev + Σ filt rows — one uint8 cumsum down the
+            run's rows plus a broadcast add.
+    - Average/Paeth: anti-diagonal WAVEFRONT over (row, block) —
+      cell (r, j) depends on (r, j-1), (r-1, j), (r-1, j-1), so
+      every cell on diagonal r+j=k computes simultaneously once
+      diagonals < k are done: O(rows + width/bpp) vectorized steps
+      per run instead of O(rows × width) interpreted per-byte ops."""
+    import numpy as np
+
+    need = height * (stride + 1)
+    arr = np.frombuffer(raw, np.uint8, need).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    if (ftypes > 4).any():
+        raise ValueError(
+            "PNG bad filter type %d" % int(ftypes[ftypes > 4][0])
+        )
+    nblocks = (stride + bpp - 1) // bpp
+    padded = nblocks * bpp
+    filt = np.zeros((height, padded), np.uint8)
+    filt[:, :stride] = arr[:, 1:]
+    # zero lane-padding only ever sits in the LAST block, so it can
+    # never feed a real lane's left/up-left neighbor — trimmed at
+    # the end (with 8/16-bit depths stride is block-aligned anyway)
+    out = np.zeros((height, padded), np.uint8)
+    prev = np.zeros(padded, np.uint8)
+    r = 0
+    while r < height:
+        f = int(ftypes[r])
+        r2 = r + 1
+        while r2 < height and ftypes[r2] == f:
+            r2 += 1
+        chunk = filt[r:r2]
+        n = r2 - r
+        if f == 0:
+            out[r:r2] = chunk
+        elif f == 1:    # Sub: per-lane prefix sum mod 256, all rows
+            out[r:r2] = np.cumsum(
+                chunk.reshape(n, nblocks, bpp), axis=1, dtype=np.uint8
+            ).reshape(n, padded)
+        elif f == 2:    # Up: prefix sum down the rows + prev
+            out[r:r2] = prev[None, :] + np.cumsum(
+                chunk, axis=0, dtype=np.uint8
+            )
+        elif n >= 4 or nblocks <= 64:
+            # Average (3) / Paeth (4): wavefront pays once the run is
+            # a few rows deep (diagonals amortize over n rows)
+            out[r:r2] = _wavefront_unfilter(
+                chunk, prev, bpp, paeth=(f == 4)
+            )
+        else:
+            # short Avg/Paeth run over wide rows: n·nblocks tiny
+            # numpy steps would cost more than the plain loop —
+            # use the scalar formulation for just these rows
+            seg = bytearray()
+            for row in range(r, r2):
+                seg.append(f)
+                seg += arr[row, 1:].tobytes()
+            rec = _unfilter_scalar(
+                bytes(seg), n, stride, bpp,
+                prev=prev[:stride].tobytes(),
+            )
+            out[r:r2, :stride] = np.frombuffer(
+                rec, np.uint8
+            ).reshape(n, stride)
+        prev = out[r2 - 1]
+        r = r2
+    return out[:, :stride].tobytes()
+
+
+def _wavefront_unfilter(chunk, prev, bpp: int, paeth: bool):
+    """Average/Paeth recovery for a run of same-filter rows via
+    anti-diagonal wavefronts over a SKEWED workspace: S[d, r] holds
+    the cell at (row r, block d-r), so every anti-diagonal — and
+    each cell's left/up/up-left dependency — is a contiguous slice
+    (no gather/scatter indexing, the wavefront's cost driver).
+    Rows are processed in bands of `_BAND` to bound the skew
+    buffer's memory at roughly band × row_bytes regardless of image
+    height; `prev` (the run's predecessor scanline) seeds each
+    band's ghost row."""
+    import numpy as np
+
+    n, padded = chunk.shape
+    nb = padded // bpp
+    # steps per band = m + nb and per-step numpy overhead is fixed,
+    # so the fewest (n/m)·(m+nb) steps come from the LARGEST band
+    # the memory budget (~32 MiB of int16 skew buffer) allows
+    band = max(64, min(n, (32 << 20) // ((nb + 1) * bpp * 2)))
+    out = np.empty((n, padded), np.uint8)
+    for r0 in range(0, n, band):
+        m = min(band, n - r0)
+        # S indices: d (skewed diagonal) in [0, m+nb], r (ghost row
+        # 0 = predecessor scanline; rows 1..m = this band)
+        S = np.zeros((m + nb + 1, m + 1, bpp), np.int16)
+        S[1:nb + 1, 0] = prev.reshape(nb, bpp)
+        f3 = chunk[r0:r0 + m].reshape(m, nb, bpp)
+        for i in range(m):
+            S[i + 2:i + 2 + nb, i + 1] = f3[i]
+        # preallocated scratch (diagonals reuse views of these): the
+        # inner loop runs m+nb times, so per-step allocations are
+        # the remaining cost driver once indexing is slice-only
+        scr = [np.empty((m, bpp), np.int16) for _ in range(4)]
+        msk = [np.empty((m, bpp), bool) for _ in range(2)]
+        for d in range(2, m + nb + 1):
+            lo = max(1, d - nb)
+            hi = min(m, d - 1)
+            k = hi - lo + 1
+            cur = S[d, lo:hi + 1]
+            a = S[d - 1, lo:hi + 1]     # left  (same row, block-1)
+            b = S[d - 1, lo - 1:hi]     # up    (row-1, same block)
+            if paeth:
+                c = S[d - 2, lo - 1:hi]  # up-left
+                # with p = a+b-c: |p-a| = |b-c|, |p-b| = |a-c|,
+                # |p-c| = |(b-c)+(a-c)| — p itself never needed
+                bc, ac, pc = (s[:k] for s in scr[:3])
+                m1, m2 = (x[:k] for x in msk)
+                np.subtract(b, c, out=bc)
+                np.subtract(a, c, out=ac)
+                np.add(bc, ac, out=pc)
+                np.abs(bc, out=bc)       # pa
+                np.abs(ac, out=ac)       # pb
+                np.abs(pc, out=pc)
+                np.less_equal(bc, ac, out=m1)
+                np.less_equal(bc, pc, out=m2)
+                m1 &= m2                 # pa smallest -> a
+                np.less_equal(ac, pc, out=m2)  # pb <= pc -> b else c
+                pr = np.where(m1, a, np.where(m2, b, c))
+            else:
+                pr = scr[0][:k]
+                np.add(a, b, out=pr)
+                pr >>= 1
+            cur += pr
+            cur &= 0xFF
+        for i in range(m):
+            out[r0 + i] = S[i + 2:i + 2 + nb, i + 1].reshape(padded)
+        prev = out[r0 + m - 1]
+    return out
+
+
+def _unfilter_scalar(raw: bytes, height: int, stride: int,
+                     bpp: int, prev: bytes = None) -> bytes:
+    """The straightforward per-byte formulation of RFC 2083 §6 —
+    kept as the differential-test oracle for _unfilter, the
+    spec-readable reference, and the short-run fallback (`prev`
+    seeds the predecessor scanline mid-image)."""
     out = bytearray()
-    prev = bytearray(stride)
+    prev = bytearray(prev) if prev is not None else bytearray(stride)
     pos = 0
     for _ in range(height):
         ftype = raw[pos]

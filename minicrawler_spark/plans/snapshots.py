@@ -34,15 +34,22 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .sidecar_fs import fs_for
+
 
 class SnapshotCatalog:
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs=None):
+        # all manifest/CURRENT/listing I/O goes through the same
+        # pluggable FS as the bloom/WARC sidecars (sidecar_fs), so a
+        # checkpoint root on s3://-style storage commits the same way
+        # POSIX does; only the parquet data files go through Spark's
+        # own (URI-capable) writer
         self.root = root
+        self.fs = fs if fs is not None else fs_for(root)
 
     # -- paths ---------------------------------------------------------
 
@@ -72,9 +79,10 @@ class SnapshotCatalog:
         data_dir = self._data(table, snapshot_id)
         df.write.mode("overwrite").parquet(data_dir)
 
-        files = sorted(
-            f for f in os.listdir(data_dir) if f.endswith(".parquet")
-        )
+        files = [
+            f for f in self.fs.listdir(data_dir)
+            if f.endswith(".parquet")
+        ]
         # Re-committing an id that is already CURRENT (at-least-once
         # foreachBatch retry, or crawl() re-run on an existing
         # checkpoint_dir restarting round ids) must not create a
@@ -93,24 +101,26 @@ class SnapshotCatalog:
             "files": files,
             "n_files": len(files),
         }
-        os.makedirs(os.path.dirname(self._meta(table, snapshot_id)),
-                    exist_ok=True)
-        with open(self._meta(table, snapshot_id), "w") as f:
-            json.dump(manifest, f)
-
-        tmp = self._current_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(snapshot_id))
-        os.replace(tmp, self._current_path(table))  # the commit point
+        self.fs.makedirs(os.path.dirname(self._meta(table, snapshot_id)))
+        self.fs.write_bytes_atomic(
+            self._meta(table, snapshot_id),
+            json.dumps(manifest).encode("utf-8"),
+        )
+        # the commit point: atomic publish of the CURRENT pointer
+        self.fs.write_bytes_atomic(
+            self._current_path(table), str(snapshot_id).encode("ascii")
+        )
         return snapshot_id
 
     # -- read path -------------------------------------------------------
 
     def current_id(self, table: str) -> Optional[int]:
         try:
-            with open(self._current_path(table)) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+            return int(
+                self.fs.read_bytes(self._current_path(table))
+                .decode("ascii").strip()
+            )
+        except (OSError, ValueError):
             return None
 
     def read(
@@ -123,7 +133,7 @@ class SnapshotCatalog:
         sid = self.current_id(table) if snapshot_id is None else snapshot_id
         if sid is None:
             raise FileNotFoundError("no current snapshot for %r" % table)
-        if not os.path.exists(self._meta(table, sid)):
+        if not self.fs.exists(self._meta(table, sid)):
             raise FileNotFoundError(
                 "snapshot %d of %r does not exist (expired?)" % (sid, table)
             )
@@ -133,8 +143,8 @@ class SnapshotCatalog:
         return reader.parquet(self._data(table, sid))
 
     def manifest(self, table: str, snapshot_id: int) -> dict:
-        with open(self._meta(table, snapshot_id)) as f:
-            return json.load(f)
+        data = self.fs.read_bytes(self._meta(table, snapshot_id))
+        return json.loads(data.decode("utf-8"))
 
     def history(self, table: str) -> list:
         """Manifests newest-first, walking parent ids from CURRENT.
@@ -146,7 +156,7 @@ class SnapshotCatalog:
         while (
             sid is not None
             and sid not in seen
-            and os.path.exists(self._meta(table, sid))
+            and self.fs.exists(self._meta(table, sid))
         ):
             seen.add(sid)
             m = self.manifest(table, sid)
@@ -163,10 +173,10 @@ class SnapshotCatalog:
         expired = []
         for m in hist[keep_last:]:
             sid = m["snapshot_id"]
-            shutil.rmtree(self._data(table, sid), ignore_errors=True)
+            self.fs.remove_tree(self._data(table, sid))
             try:
-                os.remove(self._meta(table, sid))
-            except FileNotFoundError:
+                self.fs.remove(self._meta(table, sid))
+            except (FileNotFoundError, OSError):
                 pass
             expired.append(sid)
         return expired

@@ -79,6 +79,23 @@ def configure(timeout_s: float = 5.0, insecure: bool = False,
 # pay (VERDICT r2 #9: one resolution per host per crawl).
 _DNS_CACHE: dict = {}
 _DNS_TTL_S = 300.0
+# bound like _BLOOM_CACHE (ADVICE r3): a crawl over millions of
+# distinct hosts must not accumulate getaddrinfo tuples for the
+# executor's lifetime. At the cap, expired entries are dropped
+# first; if every entry is still live, the oldest-inserted half
+# goes (python dicts preserve insertion order).
+_DNS_CACHE_MAX = 65536
+
+
+def _dns_cache_put(host: str, value, expiry: float) -> None:
+    if host not in _DNS_CACHE and len(_DNS_CACHE) >= _DNS_CACHE_MAX:
+        now = time.monotonic()
+        for h in [h for h, (_v, exp) in _DNS_CACHE.items() if exp <= now]:
+            del _DNS_CACHE[h]
+        if len(_DNS_CACHE) >= _DNS_CACHE_MAX:
+            for h in list(_DNS_CACHE)[: _DNS_CACHE_MAX // 2]:
+                del _DNS_CACHE[h]
+    _DNS_CACHE[host] = (value, expiry)
 
 
 def _lookup(host: str):
@@ -91,9 +108,9 @@ def _lookup(host: str):
     try:
         infos = socket.getaddrinfo(host, None, type=socket.SOCK_STREAM)
     except OSError as e:
-        _DNS_CACHE[host] = (e, now + _DNS_TTL_S / 10)
+        _dns_cache_put(host, e, now + _DNS_TTL_S / 10)
         raise
-    _DNS_CACHE[host] = (infos, now + _DNS_TTL_S)
+    _dns_cache_put(host, infos, now + _DNS_TTL_S)
     return infos
 
 
@@ -134,9 +151,9 @@ async def _alookup(host: str):
             host, None, type=socket.SOCK_STREAM
         )
     except OSError as e:
-        _DNS_CACHE[host] = (e, now + _DNS_TTL_S / 10)
+        _dns_cache_put(host, e, now + _DNS_TTL_S / 10)
         raise
-    _DNS_CACHE[host] = (infos, now + _DNS_TTL_S)
+    _dns_cache_put(host, infos, now + _DNS_TTL_S)
     return infos
 
 
@@ -219,6 +236,32 @@ _TLS_MAX: dict = {}
 _TLS_MAX_TTL_S = 300.0
 
 
+# The ladder walks ONLY on version-negotiation failures (VERDICT r4
+# #7 narrows ADVICE r3): these OpenSSL reason codes say the peer and
+# we disagree on PROTOCOL VERSION — the one thing a lower rung can
+# fix. Any other SSLError (bad MAC, truncated record mid-handshake,
+# generic alerts) is a hard failure: downgrading can't help and must
+# not pin the host to a legacy version for _TLS_MAX_TTL_S.
+_TLS_WALK_REASONS = frozenset({
+    "UNSUPPORTED_PROTOCOL",           # peer only speaks older versions
+    "TLSV1_ALERT_PROTOCOL_VERSION",   # peer alert: version unsupported
+    "VERSION_TOO_LOW",
+    "WRONG_VERSION_NUMBER",
+    "NO_PROTOCOLS_AVAILABLE",
+    "SSLV3_ALERT_HANDSHAKE_FAILURE",  # legacy reject of a modern hello
+    "TLSV1_ALERT_INSUFFICIENT_SECURITY",
+})
+
+
+def _walks_ladder(e) -> bool:
+    """True when this handshake failure justifies one rung down:
+    a version-negotiation SSL reason, or a handshake timeout
+    (crawler.c:1888-1896 retries those lower too)."""
+    if isinstance(e, TimeoutError) and not isinstance(e, ssl.SSLError):
+        return True
+    return getattr(e, "reason", None) in _TLS_WALK_REASONS
+
+
 def _tls_rung_get(host):
     entry = _TLS_MAX.get(host)
     if entry is None:
@@ -288,13 +331,13 @@ def _open(scheme: str, host: str, port: int, deadline: float,
             sock.close()
             raise  # downgrading never fixes a bad cert (cert.c:216-351)
         except (ssl.SSLError, TimeoutError) as e:
-            # the reference walks the ladder on SSL protocol errors
-            # (incl. unexpected EOF, crawler.c:256-296) and handshake
-            # timeouts (crawler.c:1888-1896); plain TCP errors (RST,
-            # refused) are SSL_ERROR_SYSCALL there -> hard failure,
-            # NOT a downgrade signal — an injected reset must not
-            # walk us down the ladder
+            # walk only on version-negotiation reasons + handshake
+            # timeout (_walks_ladder); plain TCP errors (RST,
+            # refused) and generic SSL errors (bad MAC, truncation)
+            # are hard failures, NOT downgrade signals
             sock.close()
+            if not _walks_ladder(e):
+                raise
             last_err = e
         except ValueError as e:
             # this OpenSSL build refuses the rung entirely
@@ -361,9 +404,12 @@ async def _aopen(scheme: str, host: str, port: int, deadline: float,
             sock.close()
             raise  # downgrading never fixes a bad cert
         except (ssl.SSLError, TimeoutError) as e:
-            # same trigger set as _open: SSL protocol errors and
-            # handshake timeouts walk the ladder; TCP errors raise
+            # same trigger set as _open: version-negotiation reasons
+            # and handshake timeouts walk the ladder; everything
+            # else raises
             sock.close()
+            if not _walks_ladder(e):
+                raise
             last_err = e
         except ValueError as e:
             sock.close()

@@ -222,6 +222,14 @@ def discover_sitemaps(
         ]
         level = [u for u in children if u not in seen][:max_sitemaps]
         seen.update(level)
+    if not outs:
+        # empty seed list (a robots.txt with no Sitemap: lines) or
+        # max_depth=0: an empty result, not an IndexError (ADVICE r3)
+        return spark.createDataFrame(
+            [],
+            "sitemap_url string, kind string, loc string, "
+            "lastmod string, priority double, status int",
+        )
     res = outs[0]
     for extra in outs[1:]:
         res = res.unionByName(extra)
@@ -243,7 +251,12 @@ def sitemap_frontier(discovered: DataFrame, settings=None) -> DataFrame:
         .dropDuplicates(["loc"])
     )
     return pages.select(
-        F.monotonically_increasing_id().cast("int").alias("index"),
+        # stable 31-bit non-negative index derived from the URL —
+        # monotonically_increasing_id packs the partition id into the
+        # upper bits, so casting it to int overflows for every row
+        # outside partition 0 (ADVICE r3)
+        F.xxhash64("loc").bitwiseAND(F.lit((1 << 31) - 1))
+        .cast("int").alias("index"),
         F.col("loc").alias("rawurl"),
         F.lit(None).cast("string").alias("base"),
         F.lit(0).alias("depth"),

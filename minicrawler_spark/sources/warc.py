@@ -3,10 +3,13 @@ public web-archive format trainig-data pipelines ingest).
 
 The reference's only sink is its stdout record stream (cli.c:200-319);
 a 100 TB crawl needs a durable, splittable archive instead, so this is
-a north-rule addition: `write_warc` emits one `.warc.gz` per
-partition (each record its own gzip member, the standard layout that
-keeps records individually seekable), `read_warc` loads a directory
-of them back into a typed DataFrame. I/O goes through the same
+a north-rule addition: `write_warc` emits size-capped `.warc.gz`
+archives per partition, ROLLING to a new file at `max_archive_bytes`
+(each record its own gzip member, the standard layout that keeps
+records individually seekable); `read_warc` streams a directory of
+them back into a typed DataFrame; `read_cdxj`/`read_warc_records`
+serve random access — index-filtered (offset, length) ranged reads
+that fetch only the selected members. I/O goes through the same
 pluggable FS layer as the seen filter's bloom sidecars
 (plans/sidecar_fs.py), so executors can target POSIX or s3://-style
 storage alike.

@@ -239,6 +239,46 @@ def test_trickling_server_bounded_by_deadline():
     assert delay_ms >= 900
 
 
+def test_dns_cache_bounded(monkeypatch):
+    """ADVICE r3: _DNS_CACHE must not grow without bound over
+    millions of distinct hosts. At the cap, expired entries evict
+    first; if all live, the oldest-inserted half goes."""
+    import time as _time
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    monkeypatch.setattr(hf, "_DNS_CACHE_MAX", 100)
+    hf._DNS_CACHE.clear()
+    now = _time.monotonic()
+    try:
+        # half expired, half live
+        for i in range(60):
+            hf._dns_cache_put("exp%d" % i, [("a",)], now - 1)
+        for i in range(40):
+            hf._dns_cache_put("live%d" % i, [("a",)], now + 300)
+        assert len(hf._DNS_CACHE) == 100
+        hf._dns_cache_put("new1", [("a",)], now + 300)
+        # expired evicted, every live entry retained
+        assert len(hf._DNS_CACHE) == 41
+        assert all("exp%d" % i not in hf._DNS_CACHE for i in range(60))
+        assert all("live%d" % i in hf._DNS_CACHE for i in range(40))
+
+        # all-live at cap: oldest-inserted half evicts
+        hf._DNS_CACHE.clear()
+        for i in range(100):
+            hf._dns_cache_put("h%d" % i, [("a",)], now + 300)
+        hf._dns_cache_put("new2", [("a",)], now + 300)
+        assert len(hf._DNS_CACHE) == 51
+        assert "h0" not in hf._DNS_CACHE and "h99" in hf._DNS_CACHE
+        assert "new2" in hf._DNS_CACHE
+        # updating an existing key never evicts
+        before = set(hf._DNS_CACHE)
+        hf._dns_cache_put("h99", [("b",)], now + 600)
+        assert set(hf._DNS_CACHE) == before
+    finally:
+        hf._DNS_CACHE.clear()
+
+
 def test_tls_downgrade_ladder(monkeypatch):
     """crawler.c:97-131: a handshake failure at the top rung retries
     with max_proto stepped down one version; success is remembered
@@ -264,7 +304,9 @@ def test_tls_downgrade_ladder(monkeypatch):
             def wrap_socket(self, sock, server_hostname=None):
                 attempts.append(max_ver)
                 if max_ver == _ssl.TLSVersion.MAXIMUM_SUPPORTED:
-                    raise _ssl.SSLError("handshake failure (fake 1.3)")
+                    err = _ssl.SSLError("fake 1.3 version reject")
+                    err.reason = "UNSUPPORTED_PROTOCOL"
+                    raise err
                 return _FakeTLS(sock)
 
         return W()
@@ -343,6 +385,74 @@ def test_tcp_reset_does_not_walk_tls_ladder(monkeypatch):
     finally:
         lsock.close()
         hf._TLS_MAX.clear()
+
+
+def test_generic_ssl_error_does_not_walk_tls_ladder(monkeypatch):
+    """VERDICT r4 #7: only version-negotiation reasons walk the
+    ladder. A generic SSLError (truncated record, bad MAC, reason
+    None) is a hard failure — no rung change, no _TLS_MAX pin."""
+    import ssl as _ssl
+    import time as _time
+
+    import pytest as _pytest
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    real_ctx = hf._tls_context
+    for reason in ("DECRYPTION_FAILED_OR_BAD_RECORD_MAC",
+                   "UNEXPECTED_EOF_WHILE_READING", None):
+        attempts = []
+
+        def fake_ctx(max_ver, _attempts=attempts, _reason=reason):
+            real_ctx(max_ver)
+
+            class W:
+                def wrap_socket(self, sock, server_hostname=None):
+                    _attempts.append(max_ver)
+                    err = _ssl.SSLError("generic failure")
+                    if _reason is not None:
+                        err.reason = _reason
+                    raise err
+
+            return W()
+
+        monkeypatch.setattr(hf, "_tls_context", fake_ctx)
+        hf._TLS_MAX.clear()
+        lsock = __import__("socket").socket()
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(4)
+        port = lsock.getsockname()[1]
+        try:
+            with _pytest.raises(_ssl.SSLError):
+                hf._open(
+                    "https", "127.0.0.1", port, _time.monotonic() + 5, 5.0
+                )
+            assert attempts == [_ssl.TLSVersion.MAXIMUM_SUPPORTED], reason
+            assert hf._TLS_MAX == {}
+        finally:
+            lsock.close()
+            hf._TLS_MAX.clear()
+
+
+def test_walks_ladder_trigger_set():
+    """The trigger predicate itself: version reasons + handshake
+    timeout walk; everything else doesn't."""
+    import ssl as _ssl
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    for r in ("UNSUPPORTED_PROTOCOL", "TLSV1_ALERT_PROTOCOL_VERSION",
+              "VERSION_TOO_LOW", "WRONG_VERSION_NUMBER"):
+        e = _ssl.SSLError("x")
+        e.reason = r
+        assert hf._walks_ladder(e), r
+    assert hf._walks_ladder(TimeoutError("handshake"))
+    for r in ("DECRYPTION_FAILED_OR_BAD_RECORD_MAC", "CERTIFICATE_VERIFY_FAILED"):
+        e = _ssl.SSLError("x")
+        e.reason = r
+        assert not hf._walks_ladder(e), r
+    assert not hf._walks_ladder(_ssl.SSLError("no reason"))
+    assert not hf._walks_ladder(ConnectionResetError("rst"))
 
 
 def test_tls12_rung_keeps_default_security_level(monkeypatch):

@@ -127,6 +127,40 @@ def sitemap_server():
     srv.shutdown()
 
 
+def test_discover_empty_seeds_returns_empty_frame(spark):
+    """ADVICE r3: a robots.txt with no Sitemap: lines feeds an empty
+    seed list — that returns an empty typed DataFrame, not an
+    IndexError; same for max_depth=0."""
+    cols = ["sitemap_url", "kind", "loc", "lastmod", "priority",
+            "status"]
+    out = discover_sitemaps(spark, [])
+    assert out.columns == cols and out.count() == 0
+    out0 = discover_sitemaps(
+        spark, ["http://host0.test/sitemap.xml"], max_depth=0
+    )
+    assert out0.columns == cols and out0.count() == 0
+    # and the frontier adapter accepts the empty result
+    assert sitemap_frontier(out).count() == 0
+
+
+def test_sitemap_frontier_index_stable_nonnegative(spark):
+    """ADVICE r3: the frontier index must not overflow the 32-bit
+    cast for rows outside partition 0 — it is a stable 31-bit hash of
+    the URL, identical across repartitionings."""
+    rows = [("http://s.test/sm.xml", "url", "http://s.test/p%d" % i,
+             None, 0.5, 200) for i in range(500)]
+    schema = ("sitemap_url string, kind string, loc string, "
+              "lastmod string, priority double, status int")
+    one = spark.createDataFrame(rows, schema).coalesce(1)
+    many = spark.createDataFrame(rows, schema).repartition(16)
+    f1 = {r["rawurl"]: r["index"]
+          for r in sitemap_frontier(one).collect()}
+    f2 = {r["rawurl"]: r["index"]
+          for r in sitemap_frontier(many).collect()}
+    assert f1 == f2  # partitioning-independent
+    assert all(0 <= v < 2 ** 31 for v in f1.values())
+
+
 def test_discover_and_crawl_from_sitemaps(spark, sitemap_server):
     """robots Sitemap: line -> index -> urlsets (one gzipped) -> page
     URLs, then the discovered frontier drives a real crawl; the

@@ -246,6 +246,75 @@ def test_warc_cdxj_random_access_reads_only_selected_bytes(
     )
 
 
+def test_warc_dedup_loop_closure(spark, tmp_path):
+    """VERDICT r3 #9: crawl -> warc -> warc_to_documents ->
+    exact_dedup + minhash_dup_pairs produces the same survivors and
+    pairs as the live crawl results, on a web with PLANTED
+    duplicates (/page/03 serves the same bytes as /page/3 under a
+    distinct URL)."""
+    from minicrawler_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dup_pairs,
+    )
+    from minicrawler_spark.sources.warc import warc_to_documents
+
+    import pyspark.sql.functions as F
+
+    seeds = [
+        "http://host0.test/page/3", "http://host0.test/page/03",
+        "http://host1.test/page/5", "http://host1.test/page/005",
+        "http://host2.test/page/9",
+    ]
+    out = str(tmp_path / "warc")
+    # live path: converted crawl -> documents shape
+    conv = crawl(
+        spark, seeds,
+        CrawlSettings(timeout=600, writehead=True, convert_to_text=True),
+    ).filter("outcome = 'done'")
+    docs_live = conv.select(
+        F.col("url").alias("doc_id"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+        ).alias("text"),
+    ).localCheckpoint()
+    # archive path: raw crawl -> .warc.gz -> documents
+    raw = crawl(
+        spark, seeds, CrawlSettings(timeout=600, writehead=True)
+    ).filter("outcome = 'done'")
+    write_warc(raw, out).collect()
+    docs_warc = warc_to_documents(spark, out).select("doc_id", "text")
+
+    live = {(r["doc_id"], r["text"]) for r in docs_live.collect()}
+    arch = {(r["doc_id"], r["text"]) for r in docs_warc.collect()}
+    assert live == arch and len(live) == 5
+
+    # exact dedup: identical survivor sets, planted dups collapse
+    ex_live = {(r["keep_doc_id"], r["n_copies"])
+               for r in exact_dedup(docs_live).collect()}
+    ex_warc = {(r["keep_doc_id"], r["n_copies"])
+               for r in exact_dedup(docs_warc).collect()}
+    assert ex_live == ex_warc
+    assert sum(1 for _k, n in ex_live if n == 2) == 2  # the 2 plants
+
+    # minhash near-dup pairs: identical across both paths and they
+    # contain exactly the planted duplicate pairs at jaccard 1.0
+    p_live = {(r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in minhash_dup_pairs(
+                  docs_live, threshold=0.9).collect()}
+    p_warc = {(r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in minhash_dup_pairs(
+                  docs_warc, threshold=0.9).collect()}
+    assert p_live == p_warc
+    assert p_live == {
+        ("http://host0.test/page/03", "http://host0.test/page/3", 1.0),
+        ("http://host1.test/page/005", "http://host1.test/page/5", 1.0),
+    }
+
+
 def test_warc_write_through_fs_shim(spark, tmp_path):
     """The sink honors the pluggable FS (executors pickle it)."""
     from tests.test_seen_scale import _SlowShimFS
