@@ -113,6 +113,15 @@ def q_dup_clusters(spark, sf):
     return D.dup_clusters(pairs)
 
 
+def q_dup_clusters_star(spark, sf):
+    """The same components via the large-star/small-star formulation
+    (O(log^2) rounds regardless of diameter — the 100 TB path for
+    adversarially long dup chains); must be hash-exact against the
+    SAME recursive-CTE oracle as the propagation method."""
+    pairs = D.minhash_dup_pairs(_t(spark, sf, "documents"), threshold=0.9)
+    return D.dup_clusters(pairs, method="star")
+
+
 def q_simhash_pairs(spark, sf):
     return D.simhash_dup_pairs(_t(spark, sf, "documents"))
 
@@ -473,6 +482,7 @@ QUERIES = {
     "q_embed_near_dups": q_embed_near_dups,
     "q_minhash_dup_pairs": q_minhash_dup_pairs,
     "q_dup_clusters": q_dup_clusters,
+    "q_dup_clusters_star": q_dup_clusters_star,
     "q_simhash_pairs": q_simhash_pairs,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
@@ -1035,6 +1045,9 @@ ORACLES["q_dup_clusters"] = """
 """ % ORACLES["q_minhash_dup_pairs"].replace(
     "jaccard >= 0.5", "jaccard >= 0.9"
 )
+
+
+ORACLES["q_dup_clusters_star"] = ORACLES["q_dup_clusters"]
 
 
 def oracle_sql() -> dict[str, str]:

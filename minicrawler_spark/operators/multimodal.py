@@ -1,12 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (north-rule addition). The Spark-side plumbing — schemas,
-Arrow batch shapes, partitioning — is real and tested, and the two
-dominant web image types decode for REAL, stdlib-only: PNG (IHDR
-parse, chunk walk, zlib inflate, scanline unfilter — _decode_png)
-and JPEG (SOF0/SOF2 marker walk for dimensions + scan digest —
-_decode_jpeg), plus GIF and WebP dimension headers. Remaining codecs
-(AVIF, audio, video) would plug in at the _decode_image dispatch seam
-via PIL/pyvips, which are not in this container; the deterministic
+Arrow batch shapes, partitioning — is real and tested, and the
+dominant web media types parse for REAL, stdlib-only:
+
+- images: PNG (IHDR parse, chunk walk, zlib inflate, vectorized
+  scanline unfilter — _decode_png), JPEG (SOF marker walk + scan
+  digest), GIF, WebP, and AVIF/HEIF (ISO-BMFF box walk to ispe);
+- audio/video (probe_av): MP4/MOV (moov/mvhd/tkhd/hdlr walk for
+  duration + video dimensions), WAV (RIFF fmt/data chunks), MP3
+  (MPEG frame header after ID3v2 skip).
+
+Pixel/sample RECOVERY beyond PNG (AV1/H.264 frames, PCM decode of
+compressed audio) would plug in at these dispatch seams via
+PIL/pyvips/ffmpeg, which are not in this container; the deterministic
 'PNGSTUB:' branch remains for cross-engine oracle tests.
 """
 
@@ -26,7 +32,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "decode_and_featurize", "media_from_crawl"]
+__all__ = [
+    "MEDIA_SCHEMA", "FEATURE_SCHEMA", "AV_SCHEMA",
+    "decode_and_featurize", "probe_av", "media_from_crawl",
+]
 
 MEDIA_SCHEMA = StructType(
     [
@@ -410,6 +419,254 @@ def _decode_webp(data: bytes):
     return width, height, feature
 
 
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    data[start:end] (ISO/IEC 14496-12 §4.2: 32-bit size, FourCC;
+    size 1 = 64-bit largesize; size 0 = to-end-of-enclosing)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("ISO-BMFF truncated largesize box")
+            size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("ISO-BMFF box size out of range")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, path, start: int, end: int):
+    """First box at a nested path like (b'moov', b'trak'); fullbox
+    version/flags are NOT skipped here (callers know their layout)."""
+    for typ, ps, pe in _walk_boxes(data, start, end):
+        if typ == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _find_box(data, path[1:], ps, pe)
+    return None
+
+
+def _decode_avif(data: bytes):
+    """AVIF/HEIF image dimensions, stdlib only: ISO-BMFF box walk to
+    meta→iprp→ipco→ispe (ImageSpatialExtents: fullbox + two uint32,
+    ISO/IEC 23008-12 §6.5.3). AV1 pixel recovery stays the documented
+    seam; the feature digests the mdat payload."""
+    import struct
+
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not ISO-BMFF: no ftyp")
+    # meta is a fullbox: skip its 4 version/flags bytes before nesting
+    meta = _find_box(data, (b"meta",), 0, len(data))
+    if meta is None:
+        raise ValueError("AVIF missing meta box")
+    ispe = _find_box(data, (b"iprp", b"ipco", b"ispe"),
+                     meta[0] + 4, meta[1])
+    if ispe is None:
+        raise ValueError("AVIF missing ispe (no spatial extents)")
+    ps, pe = ispe
+    if pe - ps < 12:
+        raise ValueError("AVIF ispe too short")
+    width, height = struct.unpack(">II", data[ps + 4:ps + 12])
+    if not (0 < width < 1 << 24 and 0 < height < 1 << 24):
+        raise ValueError("AVIF dimensions out of range")
+    mdat = _find_box(data, (b"mdat",), 0, len(data))
+    payload = data[mdat[0]:mdat[1]] if mdat else data
+    return width, height, hashlib.sha256(payload).digest() * 2
+
+
+def _probe_mp4(data: bytes):
+    """MP4/MOV container metadata, stdlib only (ISO/IEC 14496-12):
+    mvhd gives timescale+duration; each trak's hdlr says vide/soun
+    and its tkhd carries 16.16-fixed width/height. Returns
+    (duration_ms, width, height, has_video, has_audio)."""
+    import struct
+
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not ISO-BMFF: no ftyp")
+    moov = _find_box(data, (b"moov",), 0, len(data))
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    mvhd = _find_box(data, (b"mvhd",), moov[0], moov[1])
+    if mvhd is None:
+        raise ValueError("MP4 missing mvhd")
+    ps, pe = mvhd
+    ver = data[ps]
+    if ver == 1:
+        timescale, duration = struct.unpack(">IQ", data[ps + 20:ps + 32])
+    else:
+        timescale, duration = struct.unpack(">II", data[ps + 12:ps + 20])
+    if timescale == 0:
+        raise ValueError("MP4 zero timescale")
+    duration_ms = int(duration * 1000 // timescale)
+    width = height = None
+    has_video = has_audio = False
+    for typ, ts_, te_ in _walk_boxes(data, moov[0], moov[1]):
+        if typ != b"trak":
+            continue
+        hdlr = _find_box(data, (b"mdia", b"hdlr"), ts_, te_)
+        handler = data[hdlr[0] + 8:hdlr[0] + 12] if hdlr else b""
+        if handler == b"vide":
+            has_video = True
+            tkhd = _find_box(data, (b"tkhd",), ts_, te_)
+            if tkhd is not None:
+                tps, tpe = tkhd
+                if tpe - tps >= 8:
+                    w16, h16 = struct.unpack(">II", data[tpe - 8:tpe])
+                    width, height = w16 >> 16, h16 >> 16
+        elif handler == b"soun":
+            has_audio = True
+    return duration_ms, width, height, has_video, has_audio
+
+
+def _probe_wav(data: bytes):
+    """WAV metadata from the RIFF fmt/data chunks (the canonical
+    public layout): (duration_ms, sample_rate, channels, bit_depth)."""
+    import struct
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack("<4sI", data[pos:pos + 8])
+        body = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    _tag, channels, rate, _bps, block_align, bits = fmt
+    if channels == 0 or rate == 0 or block_align == 0:
+        raise ValueError("WAV zero channels/rate")
+    n_frames = data_len // block_align
+    return int(n_frames * 1000 // rate), rate, channels, bits
+
+
+# MPEG audio frame header tables (public ISO/IEC 11172-3 constants):
+# bitrate kbps by [version][layer][index]; sample rate by version
+_MP3_BITRATE_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                      192, 224, 256, 320, 0)
+_MP3_BITRATE_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _probe_mp3(data: bytes):
+    """MP3 metadata from the first MPEG audio frame header (sync
+    0xFFE…), skipping a leading ID3v2 tag; duration is the CBR
+    estimate audio_bytes*8/bitrate. Returns (duration_ms,
+    sample_rate, channels, bitrate_kbps)."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # syncsafe 28-bit tag size
+        sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + sz
+    if pos + 4 > len(data) or data[pos] != 0xFF \
+            or (data[pos + 1] & 0xE0) != 0xE0:
+        raise ValueError("not an MP3: no frame sync")
+    b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+    version = (b1 >> 3) & 0x03     # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 0x03       # 1 = Layer III
+    if version == 1 or layer != 1:
+        raise ValueError("MP3 unsupported version/layer")
+    table = _MP3_BITRATE_V1_L3 if version == 3 else _MP3_BITRATE_V2_L3
+    bitrate = table[(b2 >> 4) & 0x0F]
+    rate = _MP3_RATES[version][(b2 >> 2) & 0x03] \
+        if ((b2 >> 2) & 0x03) != 3 else 0
+    if bitrate == 0 or rate == 0:
+        raise ValueError("MP3 free/bad bitrate or reserved rate")
+    channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+    audio_bytes = len(data) - pos
+    return int(audio_bytes * 8 // bitrate), rate, channels, bitrate
+
+
+AV_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("container", StringType()),  # mp4|wav|mp3
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("has_video", StringType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def probe_av(media: DataFrame) -> DataFrame:
+    """Audio/video metadata extraction over binary media columns:
+    MP4 (moov walk), WAV (RIFF chunks), MP3 (frame header) — real
+    stdlib parsers; sample/pixel decode remains the documented
+    NotImplementedError seam (no codec libs in this container). Same
+    100 TB shape as decode_and_featurize: content-hash
+    repartitioning, Arrow batches, fixed-width output."""
+
+    def stage(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.to_dict("records"):
+                data = bytes(r["data"] or b"")
+                rec = {
+                    "media_ref": r["media_ref"],
+                    "container": None,
+                    "n_bytes": len(data),
+                    "sha256": hashlib.sha256(data).hexdigest(),
+                    "duration_ms": None, "width": None, "height": None,
+                    "sample_rate": None, "channels": None,
+                    "has_video": None, "decode_error": None,
+                }
+                try:
+                    if data[4:8] == b"ftyp":
+                        d, w, h, hv, ha = _probe_mp4(data)
+                        rec.update(container="mp4", duration_ms=d,
+                                   width=w, height=h,
+                                   has_video="yes" if hv else "no")
+                    elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                        d, sr, ch, _bits = _probe_wav(data)
+                        rec.update(container="wav", duration_ms=d,
+                                   sample_rate=sr, channels=ch,
+                                   has_video="no")
+                    elif data[:3] == b"ID3" or (
+                        len(data) > 1 and data[0] == 0xFF
+                        and (data[1] & 0xE0) == 0xE0
+                    ):
+                        d, sr, ch, _br = _probe_mp3(data)
+                        rec.update(container="mp3", duration_ms=d,
+                                   sample_rate=sr, channels=ch,
+                                   has_video="no")
+                    else:
+                        raise NotImplementedError(
+                            "no AV prober for this magic (mp4/wav/mp3)"
+                        )
+                except (NotImplementedError, ValueError, IndexError) as e:
+                    rec["decode_error"] = str(e)
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AV_SCHEMA.fields]
+            )
+
+    balanced = media.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
+    return balanced.mapInPandas(stage, AV_SCHEMA)
+
+
 def _decode_image_stub(data: bytes):
     """Deterministic fake decode for the ASCII 'PNGSTUB:' magic used
     by cross-engine oracle tests (the DuckDB sha256 only takes
@@ -436,11 +693,15 @@ def _decode_image(data: bytes):
         return _decode_gif(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return _decode_webp(data)
+    if data[4:8] == b"ftyp" and data[8:12] in (
+        b"avif", b"avis", b"heic", b"mif1"
+    ):
+        return _decode_avif(data)
     if data.startswith(b"PNGSTUB:"):
         return _decode_image_stub(data)
     raise NotImplementedError(
-        "no decoder for this magic (PNG/JPEG/GIF/WebP and PNGSTUB "
-        "supported)"
+        "no decoder for this magic (PNG/JPEG/GIF/WebP/AVIF and "
+        "PNGSTUB supported)"
     )
 
 
