@@ -61,13 +61,15 @@ _DEFAULTS = {
 
 def configure(timeout_s: float = 5.0, insecure: bool = False,
               ipv6_only: bool = False,
-              disable_http2: bool = False) -> None:
+              disable_http2: bool = False,
+              disable_async_dns: bool = False) -> None:
     """Process-global knobs, set by the engine per fetch stage
     (resolve_fetcher passes the crawl settings through)."""
     _DEFAULTS["timeout_s"] = timeout_s
     _DEFAULTS["insecure"] = insecure
     _DEFAULTS["ipv6_only"] = ipv6_only
     _DEFAULTS["disable_http2"] = disable_http2
+    _DEFAULTS["disable_async_dns"] = disable_async_dns
 
 
 # per-process DNS cache: ONE getaddrinfo per host per TTL window,
@@ -132,11 +134,37 @@ def _resolve(host: str, port: int):
     return _order_addrs(_lookup(host), port)
 
 
+# Health gate for the nonblocking resolver (sources/adns.py): after
+# _ADNS_MAX_FAILS consecutive transport-level failures (dead/absent
+# nameserver), cold lookups stop paying its timeout and go straight
+# to getaddrinfo for the rest of the process — the c-ares channel
+# failover analogue. NXDOMAIN/no-answer do NOT count (the resolver
+# worked); a success resets the counter.
+_ADNS_STATE = {"fails": 0, "disabled": False}
+_ADNS_MAX_FAILS = 3
+
+
+def _ip_literal_infos(host: str):
+    """getaddrinfo-shaped entry for a v4/v6 literal, or None."""
+    for fam in (socket.AF_INET, socket.AF_INET6):
+        try:
+            socket.inet_pton(fam, host)
+        except OSError:
+            continue
+        sockaddr = (host, 0) if fam == socket.AF_INET \
+            else (host, 0, 0, 0)
+        return [(fam, socket.SOCK_STREAM, socket.IPPROTO_TCP, "",
+                 sockaddr)]
+    return None
+
+
 async def _alookup(host: str):
-    """Async twin of _lookup sharing the same cache; the actual
-    getaddrinfo runs on asyncio's resolver executor — the one place
-    the nonblocking fetch path still touches a thread (matching the
-    reference's delegation of DNS to c-ares worker machinery)."""
+    """Async twin of _lookup sharing the same cache. Cold lookups go
+    through the stdlib-only async DNS resolver (sources/adns.py) —
+    real RFC 1035 packets on the event loop, no thread, honoring the
+    zone's TTL — with getaddrinfo-in-executor as the fallback for
+    whatever the stub resolver can't serve (/etc/hosts names,
+    truncated answers, a dead nameserver)."""
     import asyncio
 
     entry = _DNS_CACHE.get(host)
@@ -145,6 +173,32 @@ async def _alookup(host: str):
         if isinstance(entry[0], OSError):
             raise entry[0]
         return entry[0]
+    literal = _ip_literal_infos(host)
+    if literal is not None:
+        return literal
+    if not _ADNS_STATE["disabled"] and not _DEFAULTS.get(
+        "disable_async_dns"
+    ):
+        from . import adns
+
+        try:
+            infos, ttl = await adns.resolve_async(
+                host, timeout=min(3.0, float(_DEFAULTS["timeout_s"]))
+            )
+            _ADNS_STATE["fails"] = 0
+            _dns_cache_put(host, infos, now + min(ttl, _DNS_TTL_S))
+            return infos
+        except (asyncio.TimeoutError, ConnectionError) as e:
+            # transport-level: count toward disabling the resolver
+            _ADNS_STATE["fails"] += 1
+            if _ADNS_STATE["fails"] >= _ADNS_MAX_FAILS:
+                _ADNS_STATE["disabled"] = True
+            del e
+        except OSError:
+            # resolver answered (NXDOMAIN/TC/no-answer): it is
+            # healthy, but getaddrinfo still gets the last word
+            # (/etc/hosts and search domains live there)
+            _ADNS_STATE["fails"] = 0
     loop = asyncio.get_running_loop()
     try:
         infos = await loop.getaddrinfo(
