@@ -122,6 +122,13 @@ def q_dup_clusters_star(spark, sf):
     return D.dup_clusters(pairs, method="star")
 
 
+def q_line_dedup(spark, sf):
+    """CCNet/Gopher-style line-level boilerplate removal: lines
+    occurring more than twice across the corpus are dropped from
+    every document, survivors reassembled in order."""
+    return D.line_dedup(_t(spark, sf, "documents"), max_count=2)
+
+
 def q_simhash_pairs(spark, sf):
     return D.simhash_dup_pairs(_t(spark, sf, "documents"))
 
@@ -483,6 +490,7 @@ QUERIES = {
     "q_minhash_dup_pairs": q_minhash_dup_pairs,
     "q_dup_clusters": q_dup_clusters,
     "q_dup_clusters_star": q_dup_clusters_star,
+    "q_line_dedup": q_line_dedup,
     "q_simhash_pairs": q_simhash_pairs,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
@@ -1048,6 +1056,43 @@ ORACLES["q_dup_clusters"] = """
 
 
 ORACLES["q_dup_clusters_star"] = ORACLES["q_dup_clusters"]
+
+# line-level dedup: same 60-bit md5 line hash, counts across the
+# corpus, order-stable reassembly via string_agg(... order by pos)
+ORACLES["q_line_dedup"] = """
+  with lines as (
+    select doc_id, u.pos, u.line,
+           ('0x' || substr(md5(u.line), 1, 15))::BIGINT as lh
+    from documents,
+         lateral (
+           select generate_subscripts(string_split(text, chr(10)), 1)
+                    as pos,
+                  unnest(string_split(text, chr(10))) as line
+         ) u
+  ),
+  counts as (
+    select lh, count(*) as line_count from lines group by lh
+  ),
+  kept as (
+    select l.* from lines l join counts c using (lh)
+    where c.line_count <= 2
+  ),
+  kept_agg as (
+    select doc_id,
+           string_agg(line, chr(10) order by pos) as text,
+           count(*) as n_lines_kept
+    from kept group by doc_id
+  ),
+  totals as (
+    select doc_id, count(*) as n_lines from lines group by doc_id
+  )
+  select t.doc_id,
+         coalesce(k.text, '') as text,
+         coalesce(k.n_lines_kept, 0)::bigint as n_lines_kept,
+         (t.n_lines - coalesce(k.n_lines_kept, 0))::bigint
+           as n_lines_dropped
+  from totals t left join kept_agg k using (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:

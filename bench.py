@@ -181,6 +181,7 @@ def main():
         "q_hot_host_salt",
         "q_multimodal_features",
         "q_url_canonicalize",
+        "q_line_dedup",
         "q_ip_politeness",
         "q_host_sessions",
         "q_repetition",

@@ -29,6 +29,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_dup_pairs",
     "dup_clusters",
+    "line_dedup",
     "ngram_jaccard_pairs",
     "embedding_near_dups",
 ]
@@ -462,6 +463,53 @@ def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     # but an isolated input node (self-pair filtered out) labels itself
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", "node").alias("label")
+    )
+
+
+def line_dedup(docs: DataFrame, max_count: int = 2) -> DataFrame:
+    """Line-level corpus dedup (the CCNet/Gopher boilerplate-removal
+    step a real training-data pipeline runs before document-level
+    dedup): any line occurring more than `max_count` times ACROSS the
+    corpus (navigation chrome, cookie banners, footers) is dropped
+    from every document; surviving lines are reassembled in original
+    order. Returns (doc_id, text, n_lines_kept, n_lines_dropped) —
+    one row per input document, text possibly empty.
+
+    Scale shape: lines are counted and joined by their 60-bit
+    cross-engine hash (one shuffle of (hash, count) pairs, strings
+    stay columnar); reassembly is one groupBy with an order-stable
+    sort_array over (pos, line) structs — no windows, no Python.
+    The DuckDB oracle mirrors the hash (md5 15-hex trick) exactly."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n", -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("lh", token_hash_expr(F.col("line")))
+    counts = lines.groupBy("lh").agg(F.count("*").alias("line_count"))
+    kept = lines.join(counts, "lh").filter(
+        F.col("line_count") <= max_count
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines")
+    )
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        (
+            F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0))
+        ).alias("n_lines_dropped"),
     )
 
 

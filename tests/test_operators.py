@@ -212,6 +212,30 @@ def test_minhash_gate_estimate_never_tokenizes_corpus(spark):
     assert minhash_dup_pairs(d.limit(40), threshold=0.5).count() >= 0
 
 
+def test_line_dedup_removes_boilerplate(spark):
+    """CCNet/Gopher line-level dedup: a line repeated across more
+    than max_count docs (cookie banner) vanishes from every doc;
+    unique lines survive in original order; a doc can empty out."""
+    from minicrawler_spark.operators.dedup import line_dedup
+
+    rows = [
+        ("a", "COOKIE BANNER\nunique a1\nunique a2"),
+        ("b", "COOKIE BANNER\nunique b1"),
+        ("c", "unique c1\nCOOKIE BANNER"),
+        ("d", "COOKIE BANNER"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in line_dedup(docs, max_count=2).collect()}
+    assert got["a"]["text"] == "unique a1\nunique a2"
+    assert (got["a"]["n_lines_kept"], got["a"]["n_lines_dropped"]) == (2, 1)
+    assert got["b"]["text"] == "unique b1"
+    assert got["c"]["text"] == "unique c1"  # order preserved
+    assert got["d"]["text"] == "" and got["d"]["n_lines_kept"] == 0
+    # raising the threshold keeps everything
+    all_kept = line_dedup(docs, max_count=10)
+    assert all_kept.agg(F.sum("n_lines_dropped")).collect()[0][0] == 0
+
+
 def test_ngram_jaccard_pairs_symmetric_bounded(spark):
     from minicrawler_spark.operators.dedup import ngram_jaccard_pairs
 
