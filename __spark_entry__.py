@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from minicrawler_spark.operators import dedup as D
 from minicrawler_spark.operators import similarity as S
+from minicrawler_spark.operators import packing as PK
 from minicrawler_spark.operators import textstats as T
 from minicrawler_spark.operators.dedup import _P, _perm_coeffs
 from minicrawler_spark.operators.textstats import STOPWORDS
@@ -127,6 +128,15 @@ def q_line_dedup(spark, sf):
     occurring more than twice across the corpus are dropped from
     every document, survivors reassembled in order."""
     return D.line_dedup(_t(spark, sf, "documents"), max_count=2)
+
+
+def q_pack_sequences(spark, sf):
+    """Fixed-token-budget sequence packing over the doc_id-ordered
+    corpus — offset binning via the two-phase distributed prefix sum
+    (never a partitionless global window)."""
+    return PK.pack_token_sequences(
+        _t(spark, sf, "documents"), budget=2048
+    )
 
 
 def q_simhash_pairs(spark, sf):
@@ -491,6 +501,7 @@ QUERIES = {
     "q_dup_clusters": q_dup_clusters,
     "q_dup_clusters_star": q_dup_clusters_star,
     "q_line_dedup": q_line_dedup,
+    "q_pack_sequences": q_pack_sequences,
     "q_simhash_pairs": q_simhash_pairs,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
@@ -1056,6 +1067,29 @@ ORACLES["q_dup_clusters"] = """
 
 
 ORACLES["q_dup_clusters_star"] = ORACLES["q_dup_clusters"]
+
+# sequence packing: the oracle computes the SAME global running token
+# count with a plain window (fine at oracle scale) and bins starting
+# offsets by the 2048-token budget
+ORACLES["q_pack_sequences"] = """
+  with t as (
+    select doc_id, len(%s) as n_tokens from documents
+  ),
+  c as (
+    select doc_id, n_tokens,
+           sum(n_tokens) over (
+             order by doc_id
+             rows between unbounded preceding and current row
+           ) as cum
+    from t
+  )
+  select ((cum - n_tokens) // 2048)::bigint as seq_id,
+         count(*) as n_docs,
+         sum(n_tokens)::bigint as total_tokens,
+         min(doc_id) as first_doc_id,
+         max(doc_id) as last_doc_id
+  from c group by 1
+""" % _tokens_sql()
 
 # line-level dedup: same 60-bit md5 line hash, counts across the
 # corpus, order-stable reassembly via string_agg(... order by pos)

@@ -182,6 +182,7 @@ def main():
         "q_multimodal_features",
         "q_url_canonicalize",
         "q_line_dedup",
+        "q_pack_sequences",
         "q_ip_politeness",
         "q_host_sessions",
         "q_repetition",

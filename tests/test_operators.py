@@ -236,6 +236,44 @@ def test_line_dedup_removes_boilerplate(spark):
     assert all_kept.agg(F.sum("n_lines_dropped")).collect()[0][0] == 0
 
 
+def test_pack_token_sequences(spark):
+    """Offset-binning packing: conserves tokens, sequences cover
+    disjoint ordered doc ranges, and the two-phase distributed
+    prefix sum is partitioning-invariant (same bins at 1 and 16
+    input partitions, and for different num_partitions)."""
+    from minicrawler_spark.operators.packing import pack_token_sequences
+
+    rows = [(i, " ".join("w%d" % j for j in range(5 + i % 17)))
+            for i in range(200)] + [(900, ""), (901, "  ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_token_sequences(docs, budget=100).collect()
+    total = sum(5 + i % 17 for i in range(200))
+    assert sum(r["total_tokens"] for r in out) == total
+    # doc ranges are disjoint and ordered by seq_id
+    seqs = sorted(out, key=lambda r: r["seq_id"])
+    for a, b in zip(seqs, seqs[1:]):
+        assert a["last_doc_id"] < b["first_doc_id"]
+    assert sum(r["n_docs"] for r in out) == 202
+    # every sequence starts within one doc of the budget boundary
+    # (offset binning: totals exceed budget only by the straddler)
+    for r in seqs[:-1]:
+        assert r["total_tokens"] >= 100 - 21
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    one = pack_token_sequences(docs.coalesce(1), budget=100)
+    many = pack_token_sequences(docs.repartition(16), budget=100)
+    few_parts = pack_token_sequences(docs, budget=100, num_partitions=3)
+    assert key(one) == key(many) == key(few_parts) == sorted(
+        map(tuple, out)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_token_sequences(docs, budget=0)
+
+
 def test_ngram_jaccard_pairs_symmetric_bounded(spark):
     from minicrawler_spark.operators.dedup import ngram_jaccard_pairs
 
