@@ -337,7 +337,14 @@ def read_warc_records(
     what the index is for at archive scale: pulling k records out of
     a 100 TB collection costs k ranged reads, not a scan."""
     the_fs = fs if fs is not None else fs_for(path)
-    idx = read_cdxj(spark, path)
+    try:
+        idx = read_cdxj(spark, path)
+    except Exception as e:
+        raise FileNotFoundError(
+            "no CDXJ indexes under %r — selective reads need the "
+            "sidecars write_warc produces; use read_warc for a scan "
+            "(%s)" % (path, e)
+        ) from None
     if selector is not None:
         idx = selector(idx) if callable(selector) else idx.filter(selector)
 
@@ -370,7 +377,7 @@ def read_warc_records(
 
 def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     """Archives -> the documents-table shape every training-data
-    operator consumes: (doc_id, text, lang, n_chars) from each 2xx
+    operator consumes: (doc_id, text, n_chars) from each 2xx
     response's body via the engine's own pipeline — charset detect +
     convert (functions/html2text), interleaved-span conversion for
     HTML, raw UTF-8 for text/*. This closes the loop: crawl ->
