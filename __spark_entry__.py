@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from minicrawler_spark.operators import dedup as D
 from minicrawler_spark.operators import similarity as S
 from minicrawler_spark.operators import packing as PK
+from minicrawler_spark.operators import sampling as SM
 from minicrawler_spark.operators import textstats as T
 from minicrawler_spark.operators.dedup import _P, _perm_coeffs
 from minicrawler_spark.operators.textstats import STOPWORDS
@@ -137,6 +138,24 @@ def q_pack_sequences(spark, sf):
     return PK.pack_token_sequences(
         _t(spark, sf, "documents"), budget=2048
     )
+
+
+def q_hash_split(spark, sf):
+    """Deterministic content-addressed train/val/test assignment —
+    reproducible across engines/partitionings (no RNG)."""
+    return SM.hash_split(
+        _t(spark, sf, "documents").select("doc_id"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf):
+    """Per-source corpus mixing: keep different deterministic
+    fractions per stratum via a broadcast fraction table."""
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+    return SM.stratified_sample(
+        _t(spark, sf, "documents"), fr
+    ).select("doc_id", "source")
 
 
 def q_simhash_pairs(spark, sf):
@@ -502,6 +521,8 @@ QUERIES = {
     "q_dup_clusters_star": q_dup_clusters_star,
     "q_line_dedup": q_line_dedup,
     "q_pack_sequences": q_pack_sequences,
+    "q_hash_split": q_hash_split,
+    "q_stratified_sample": q_stratified_sample,
     "q_simhash_pairs": q_simhash_pairs,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
@@ -1127,6 +1148,29 @@ ORACLES["q_line_dedup"] = """
            as n_lines_dropped
   from totals t left join kept_agg k using (doc_id)
 """
+
+
+# deterministic sampling: u = first 60 md5 bits of key+NUL+salt over
+# 2^60 — identical float in both engines, so membership is exact
+_HASH_U = ("(('0x' || substr(md5(doc_id::VARCHAR || chr(0) || '%s'),"
+           " 1, 15))::BIGINT / 1152921504606846976.0)")
+
+ORACLES["q_hash_split"] = """
+  select doc_id,
+         case when %s < 0.9 then 'train'
+              when %s < 0.95 then 'val'
+              else 'test' end as split
+  from documents
+""" % (_HASH_U % "split", _HASH_U % "split")
+
+ORACLES["q_stratified_sample"] = """
+  with fr(source, f) as (
+    values ('src0', 1.0), ('src1', 0.5), ('src2', 0.25), ('src3', 0.0)
+  )
+  select d.doc_id, d.source
+  from documents d join fr using (source)
+  where %s < fr.f
+""" % (_HASH_U % "mix")
 
 
 def oracle_sql() -> dict[str, str]:

@@ -183,6 +183,8 @@ def main():
         "q_url_canonicalize",
         "q_line_dedup",
         "q_pack_sequences",
+        "q_hash_split",
+        "q_stratified_sample",
         "q_ip_politeness",
         "q_host_sessions",
         "q_repetition",

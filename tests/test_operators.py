@@ -274,6 +274,59 @@ def test_pack_token_sequences(spark):
         pack_token_sequences(docs, budget=0)
 
 
+def test_hash_split_deterministic(spark):
+    """Content-addressed splitting: same assignment regardless of
+    partitioning or rerun; weights approximately honored; weights
+    must sum to 1."""
+    from minicrawler_spark.operators.sampling import hash_split
+
+    d = spark.range(4000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"]
+         for r in hash_split(d, w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(d.repartition(13), w).collect()}
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 4000 - 0.8) < 0.03
+    assert abs(c["val"] / 4000 - 0.1) < 0.02
+    assert abs(c["test"] / 4000 - 0.1) < 0.02
+    # a different salt is a different (still deterministic) split
+    c2 = {r["doc_id"]: r["split"]
+          for r in hash_split(d, w, salt="other").collect()}
+    assert c2 != a
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(d, {"train": 0.5, "val": 0.1})
+
+
+def test_stratified_sample_per_source(spark):
+    from minicrawler_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "s%d" % (i % 4)) for i in range(2000)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    fr = {"s0": 1.0, "s1": 0.5, "s2": 0.0}  # s3 missing -> dropped
+    out = stratified_sample(d, fr).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src.get("s0", ())) == 500     # keep all
+    assert 180 < len(by_src.get("s1", ())) < 320  # ~half
+    assert "s2" not in by_src and "s3" not in by_src
+    # deterministic across partitionings
+    out2 = stratified_sample(d.repartition(7), fr).collect()
+    assert sorted((r["doc_id"] for r in out)) == sorted(
+        r["doc_id"] for r in out2
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_sample(d, {"s0": 1.5})
+
+
 def test_ngram_jaccard_pairs_symmetric_bounded(spark):
     from minicrawler_spark.operators.dedup import ngram_jaccard_pairs
 
