@@ -166,9 +166,12 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
                 chunk.reshape(n, nblocks, bpp), axis=1, dtype=np.uint8
             ).reshape(n, padded)
         elif f == 2:    # Up: prefix sum down the rows + prev
-            out[r:r2] = prev[None, :] + np.cumsum(
-                chunk, axis=0, dtype=np.uint8
+            # transposed so the uint8 cumsum runs contiguous (the
+            # strided axis-0 form measures ~1.4x slower)
+            csum = np.cumsum(
+                np.ascontiguousarray(chunk.T), axis=1, dtype=np.uint8
             )
+            out[r:r2] = (prev[:, None] + csum).T
         elif n >= 4 or nblocks <= 64:
             # Average (3) / Paeth (4): wavefront pays once the run is
             # a few rows deep (diagonals amortize over n rows)
