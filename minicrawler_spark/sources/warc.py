@@ -1,5 +1,5 @@
 """WARC sink/source for crawl results (ISO 28500 / WARC 1.1, the
-public web-archive format trainig-data pipelines ingest).
+public web-archive format training-data pipelines ingest).
 
 The reference's only sink is its stdout record stream (cli.c:200-319);
 a 100 TB crawl needs a durable, splittable archive instead, so this is
@@ -378,11 +378,21 @@ def read_warc_records(
 def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     """Archives -> the documents-table shape every training-data
     operator consumes: (doc_id, text, n_chars) from each 2xx
-    response's body via the engine's own pipeline — charset detect +
-    convert (functions/html2text), interleaved-span conversion for
-    HTML, raw UTF-8 for text/*. This closes the loop: crawl ->
-    .warc.gz -> documents -> dedup/quality/clusters run unchanged on
-    archived corpora."""
+    response's body via the engine's OWN pipeline, charset chain
+    included: the archived reply head goes through the same
+    parse_head + dispatch_headers as a live fetch (so a `charset=`
+    declared only in the Content-Type header wins, with the
+    reference's leading-space + <16-char quirks, httpproto.py:186-193
+    / crawler.c:1482), then detect_charset_from_html, then the
+    ISO-8859-1 default (streaming/crawl.py finish pipeline /
+    crawler.c:1489) — never a silent UTF-8 guess. A record whose
+    conversion fails is skipped, mirroring the live path's
+    charset-conversion-error result (not `done`, so absent from a
+    live-built documents table). This closes the loop: crawl ->
+    .warc.gz -> documents -> dedup/quality/clusters produce the same
+    bytes on archived corpora as on live results, including
+    windows-1250/Shift-JIS pages whose charset exists only in the
+    header."""
     recs = read_warc(spark, path)
 
     def stage(batches: Iterator):
@@ -393,6 +403,11 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
             detect_charset_from_html,
             to_spans,
         )
+        from ..functions.httpproto import (
+            ResponseState,
+            dispatch_headers,
+            parse_head,
+        )
         from ..operators.textstats import lang_guess  # noqa: F401 (doc)
 
         for pdf in batches:
@@ -401,14 +416,24 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
                 if not (200 <= int(r["status"] or 0) < 300):
                     continue
                 body = bytes(r["body"] or b"")
-                head = bytes(r["http_head"] or b"").decode(
-                    "latin-1", "replace"
-                ).lower()
-                is_html = "content-type:" in head and "html" in head
-                charset = detect_charset_from_html(body) or "utf-8"
+                # the engine's header dispatch over the archived head:
+                # h1 heads are raw; h2 heads were synthesized
+                # HTTP/1.1-style at fetch time (sources/http2.py:615),
+                # so parse_head covers both
+                st = ResponseState(method="GET")
+                parsed = parse_head(bytes(r["http_head"] or b""))
+                if parsed is not None:
+                    dispatch_headers(st, parsed[0], parsed[1])
+                is_html = bool(st.contenttype and "html" in st.contenttype)
+                charset = st.charset
+                if not charset:
+                    charset = detect_charset_from_html(body) or ""
+                if not charset:
+                    charset = "ISO-8859-1"  # crawler.c:1489 default
                 conv = convert_charset(body, charset)
-                if conv is not None:
-                    body = conv
+                if conv is None:
+                    continue  # live path marks this a conversion error
+                body = conv
                 if is_html:
                     spans, _links = to_spans(body)
                     text = "".join(

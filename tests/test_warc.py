@@ -88,16 +88,23 @@ def test_warc_roundtrip_through_crawl(spark, tmp_path):
 def test_warc_to_documents_pipeline(spark, tmp_path):
     """Archive -> documents-table adapter: text extracted from the
     archived HTML equals the engine's own span text for the same
-    pages, and the result feeds the training-data operators
-    unchanged (crawl -> warc -> documents -> exact_dedup)."""
+    pages — including a windows-1250 page whose charset is declared
+    ONLY in the Content-Type header (the adapter must run the
+    engine's header-charset -> HTML-detect -> ISO-8859-1 chain, not
+    default to UTF-8) — and the result feeds the training-data
+    operators unchanged (crawl -> warc -> documents -> exact_dedup)."""
     from minicrawler_spark.operators.dedup import exact_dedup
     from minicrawler_spark.sources.warc import warc_to_documents
 
     out = str(tmp_path / "warc")
+    seeds = ["http://host%d.test/page/0" % i for i in range(4)] + [
+        # charset only in the reply head; body has no <meta charset>
+        "http://host0.test/headers-charset/windows-1250",
+    ]
     res = crawl(
-        spark,
-        ["http://host%d.test/page/0" % i for i in range(4)],
-        CrawlSettings(timeout=600, writehead=True, convert_to_text=True),
+        spark, seeds,
+        CrawlSettings(timeout=600, writehead=True,
+                      convert_to_text=True, convert_to_utf8=True),
     )
     done = res.filter("outcome = 'done'")
     want_text = {
@@ -106,10 +113,13 @@ def test_warc_to_documents_pipeline(spark, tmp_path):
         )
         for r in done.collect()
     }
+    # the non-ASCII text survived the live chain (sanity: the fixture
+    # page is only recoverable through the header charset)
+    cs_url = "http://host0.test/headers-charset/windows-1250"
+    assert "žluťoučký" in want_text[cs_url]
     # archive the RAW crawl (body as fetched; writehead keeps the head)
     raw = crawl(
-        spark,
-        ["http://host%d.test/page/0" % i for i in range(4)],
+        spark, seeds,
         CrawlSettings(timeout=600, writehead=True),
     ).filter("outcome = 'done'")
     write_warc(raw, out).collect()
@@ -264,12 +274,17 @@ def test_warc_dedup_loop_closure(spark, tmp_path):
         "http://host0.test/page/3", "http://host0.test/page/03",
         "http://host1.test/page/5", "http://host1.test/page/005",
         "http://host2.test/page/9",
+        # non-UTF-8 page, charset declared only in the reply head:
+        # loop closure must hold on non-UTF-8 corpora too (the
+        # archive adapter runs the engine's charset chain)
+        "http://host2.test/headers-charset/windows-1250",
     ]
     out = str(tmp_path / "warc")
     # live path: converted crawl -> documents shape
     conv = crawl(
         spark, seeds,
-        CrawlSettings(timeout=600, writehead=True, convert_to_text=True),
+        CrawlSettings(timeout=600, writehead=True,
+                      convert_to_text=True, convert_to_utf8=True),
     ).filter("outcome = 'done'")
     docs_live = conv.select(
         F.col("url").alias("doc_id"),
@@ -290,7 +305,8 @@ def test_warc_dedup_loop_closure(spark, tmp_path):
 
     live = {(r["doc_id"], r["text"]) for r in docs_live.collect()}
     arch = {(r["doc_id"], r["text"]) for r in docs_warc.collect()}
-    assert live == arch and len(live) == 5
+    assert live == arch and len(live) == 6
+    assert any("žluťoučký" in t for _d, t in arch)  # cp1250 decoded
 
     # exact dedup: identical survivor sets, planted dups collapse
     ex_live = {(r["keep_doc_id"], r["n_copies"])
