@@ -90,7 +90,12 @@ _DNS_CACHE_MAX = 65536
 
 
 def _dns_cache_put(host: str, value, expiry: float) -> None:
-    if host not in _DNS_CACHE and len(_DNS_CACHE) >= _DNS_CACHE_MAX:
+    if host in _DNS_CACHE:
+        # delete-then-reinsert so dict insertion order approximates
+        # recency: a refreshed hot host moves to the young end and
+        # survives the oldest-half eviction (ADVICE r5)
+        del _DNS_CACHE[host]
+    elif len(_DNS_CACHE) >= _DNS_CACHE_MAX:
         now = time.monotonic()
         for h in [h for h, (_v, exp) in _DNS_CACHE.items() if exp <= now]:
             del _DNS_CACHE[h]
@@ -158,13 +163,55 @@ def _ip_literal_infos(host: str):
     return None
 
 
+# /etc/hosts, mtime-cached: the stub resolver (adns) speaks straight
+# DNS and bypasses nsswitch, so a name pinned in /etc/hosts must be
+# answered from the file BEFORE any DNS query goes out — getaddrinfo
+# semantics (ADVICE r5). The parse is one pass per mtime change.
+_HOSTS_STATE = {"mtime": None, "map": {}}
+_HOSTS_PATH = "/etc/hosts"
+
+
+def _etc_hosts_infos(host: str):
+    """Addresses for `host` from /etc/hosts as getaddrinfo-shaped
+    entries, or None when the file lacks the name (or is absent)."""
+    import os
+
+    try:
+        mtime = os.stat(_HOSTS_PATH).st_mtime
+    except OSError:
+        return None
+    if mtime != _HOSTS_STATE["mtime"]:
+        mapping: dict = {}
+        try:
+            with open(_HOSTS_PATH, "r", encoding="utf-8",
+                      errors="replace") as f:
+                for line in f:
+                    line = line.split("#", 1)[0].strip()
+                    if not line:
+                        continue
+                    parts = line.split()
+                    lit = _ip_literal_infos(parts[0])
+                    if lit is None:
+                        continue
+                    for nm in parts[1:]:
+                        mapping.setdefault(nm.lower(), []).extend(lit)
+        except OSError:
+            return None
+        _HOSTS_STATE["mtime"] = mtime
+        _HOSTS_STATE["map"] = mapping
+    return _HOSTS_STATE["map"].get(host.lower())
+
+
 async def _alookup(host: str):
-    """Async twin of _lookup sharing the same cache. Cold lookups go
-    through the stdlib-only async DNS resolver (sources/adns.py) —
-    real RFC 1035 packets on the event loop, no thread, honoring the
-    zone's TTL — with getaddrinfo-in-executor as the fallback for
-    whatever the stub resolver can't serve (/etc/hosts names,
-    truncated answers, a dead nameserver)."""
+    """Async twin of _lookup sharing the same cache. /etc/hosts is
+    consulted FIRST (mtime-cached parse — the stub resolver bypasses
+    nsswitch) and dotless names go straight to getaddrinfo (search
+    domains live there); other cold lookups go through the
+    stdlib-only async DNS resolver (sources/adns.py) — real RFC 1035
+    packets on the event loop, no thread, honoring the zone's TTL —
+    with getaddrinfo-in-executor as the fallback for whatever the
+    stub resolver can't serve (truncated answers, a dead or
+    secondary-only nameserver)."""
     import asyncio
 
     entry = _DNS_CACHE.get(host)
@@ -176,7 +223,20 @@ async def _alookup(host: str):
     literal = _ip_literal_infos(host)
     if literal is not None:
         return literal
-    if not _ADNS_STATE["disabled"] and not _DEFAULTS.get(
+    # /etc/hosts wins over DNS (getaddrinfo/nsswitch semantics); the
+    # stub resolver would bypass it (ADVICE r5)
+    pinned = _etc_hosts_infos(host)
+    if pinned:
+        _dns_cache_put(host, pinned, now + _DNS_TTL_S)
+        return pinned
+    # dotless names resolve through search domains, which only
+    # getaddrinfo implements — don't ask the stub resolver.
+    # Limitation (documented): the stub path queries only the FIRST
+    # resolv.conf nameserver; secondaries are reached via the
+    # 3-strikes getaddrinfo fallback below.
+    if "." in host.strip(".") and not _ADNS_STATE[
+        "disabled"
+    ] and not _DEFAULTS.get(
         "disable_async_dns"
     ):
         from . import adns
@@ -304,14 +364,24 @@ _TLS_WALK_REASONS = frozenset({
     "NO_PROTOCOLS_AVAILABLE",
     "SSLV3_ALERT_HANDSHAKE_FAILURE",  # legacy reject of a modern hello
     "TLSV1_ALERT_INSUFFICIENT_SECURITY",
+    # ADVICE r5: legacy TLS1.0-only stacks commonly just CLOSE the
+    # connection on a modern ClientHello instead of alerting — the
+    # reference's SSL_ERROR_SYSCALL ret==0 path downgrades there
+    # (crawler.c handshake error path), so an unexpected EOF during
+    # the handshake walks too.
+    "UNEXPECTED_EOF_WHILE_READING",
 })
 
 
 def _walks_ladder(e) -> bool:
     """True when this handshake failure justifies one rung down:
-    a version-negotiation SSL reason, or a handshake timeout
-    (crawler.c:1888-1896 retries those lower too)."""
+    a version-negotiation SSL reason, an abrupt close-during-
+    handshake (SSLEOFError — legacy servers drop modern hellos), or
+    a handshake timeout (crawler.c:1888-1896 retries those lower
+    too)."""
     if isinstance(e, TimeoutError) and not isinstance(e, ssl.SSLError):
+        return True
+    if isinstance(e, ssl.SSLEOFError):
         return True
     return getattr(e, "reason", None) in _TLS_WALK_REASONS
 

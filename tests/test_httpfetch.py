@@ -275,6 +275,67 @@ def test_dns_cache_bounded(monkeypatch):
         before = set(hf._DNS_CACHE)
         hf._dns_cache_put("h99", [("b",)], now + 600)
         assert set(hf._DNS_CACHE) == before
+        # ADVICE r5: a re-put MOVES the key to the young end, so a
+        # refreshed hot host survives the oldest-half eviction
+        hf._DNS_CACHE.clear()
+        for i in range(100):
+            hf._dns_cache_put("h%d" % i, [("a",)], now + 300)
+        hf._dns_cache_put("h0", [("hot",)], now + 600)  # refresh oldest
+        hf._dns_cache_put("new3", [("a",)], now + 300)  # trips eviction
+        assert "h0" in hf._DNS_CACHE          # refreshed -> survived
+        assert "h1" not in hf._DNS_CACHE      # stale oldest -> evicted
+    finally:
+        hf._DNS_CACHE.clear()
+
+
+def test_etc_hosts_wins_over_stub_resolver(monkeypatch, tmp_path):
+    """ADVICE r5: a name pinned in /etc/hosts must resolve from the
+    file (getaddrinfo/nsswitch semantics) — the stub resolver speaks
+    straight DNS and would bypass the pin. Dotless names (search
+    domains) also never reach the stub resolver."""
+    import asyncio
+
+    from minicrawler_spark.sources import adns
+    from minicrawler_spark.sources import httpfetch as hf
+
+    hosts = tmp_path / "hosts"
+    hosts.write_text(
+        "# comment\n"
+        "10.9.8.7  pinned.example.test alias.test  # trailing\n"
+        "fd00::1   pinned6.test\n"
+        "bogus-address  broken.test\n"
+    )
+    monkeypatch.setattr(hf, "_HOSTS_PATH", str(hosts))
+    monkeypatch.setattr(
+        hf, "_HOSTS_STATE", {"mtime": None, "map": {}}
+    )
+
+    async def boom(host, timeout=3.0):
+        raise AssertionError("stub resolver must not be asked: %s" % host)
+
+    monkeypatch.setattr(adns, "resolve_async", boom)
+    monkeypatch.setattr(
+        hf, "_ADNS_STATE", {"fails": 0, "disabled": False}
+    )
+    monkeypatch.setitem(hf._DEFAULTS, "disable_async_dns", False)
+    hf._DNS_CACHE.clear()
+    try:
+        infos = asyncio.run(hf._alookup("PINNED.example.test"))
+        assert [sa[0] for _f, _t, _p, _c, sa in infos] == ["10.9.8.7"]
+        infos = asyncio.run(hf._alookup("alias.test"))
+        assert [sa[0] for _f, _t, _p, _c, sa in infos] == ["10.9.8.7"]
+        infos = asyncio.run(hf._alookup("pinned6.test"))
+        assert [sa[0] for _f, _t, _p, _c, sa in infos] == ["fd00::1"]
+        # the unparseable /etc/hosts line was skipped (not fatal), so
+        # broken.test is NOT pinned: a normal dotted name that reaches
+        # the stub resolver — boom proves the pin didn't catch it
+        with pytest.raises(AssertionError):
+            asyncio.run(hf._alookup("broken.test"))
+        # dotless name: straight to getaddrinfo, stub never asked
+        try:
+            asyncio.run(hf._alookup("localhost"))
+        except OSError:
+            pass  # environment-dependent; only the no-stub part matters
     finally:
         hf._DNS_CACHE.clear()
 
@@ -347,6 +408,62 @@ def test_tls_downgrade_ladder(monkeypatch):
         hf._TLS_MAX.clear()
 
 
+def test_unexpected_eof_walks_tls_ladder(monkeypatch):
+    """ADVICE r5: legacy TLS1.0-only stacks often just CLOSE the
+    connection on a modern ClientHello (OpenSSL surfaces
+    UNEXPECTED_EOF_WHILE_READING / SSLEOFError; the reference's
+    SSL_ERROR_SYSCALL ret==0 path downgrades there) — abrupt EOF
+    during the handshake must walk the ladder, unlike an RST."""
+    import ssl as _ssl
+    import time as _time
+
+    from minicrawler_spark.sources import httpfetch as hf
+
+    attempts = []
+    real_ctx = hf._tls_context
+
+    class _FakeTLS:
+        def __init__(self, sock):
+            self._sock = sock
+
+        def __getattr__(self, k):
+            return getattr(self._sock, k)
+
+    def fake_ctx(max_ver):
+        real_ctx(max_ver)
+
+        class W:
+            def wrap_socket(self, sock, server_hostname=None):
+                attempts.append(max_ver)
+                if max_ver in (_ssl.TLSVersion.MAXIMUM_SUPPORTED,
+                               _ssl.TLSVersion.TLSv1_2):
+                    raise _ssl.SSLEOFError(
+                        8, "EOF occurred in violation of protocol"
+                    )
+                return _FakeTLS(sock)
+
+        return W()
+
+    monkeypatch.setattr(hf, "_tls_context", fake_ctx)
+    hf._TLS_MAX.clear()
+    lsock = __import__("socket").socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(4)
+    port = lsock.getsockname()[1]
+    try:
+        s = hf._open("https", "127.0.0.1", port, _time.monotonic() + 5, 5.0)
+        s.close()
+        assert attempts == [
+            _ssl.TLSVersion.MAXIMUM_SUPPORTED,
+            _ssl.TLSVersion.TLSv1_2,
+            _ssl.TLSVersion.TLSv1_1,
+        ]
+        assert hf._TLS_MAX["127.0.0.1"][0] == _ssl.TLSVersion.TLSv1_1
+    finally:
+        lsock.close()
+        hf._TLS_MAX.clear()
+
+
 def test_tcp_reset_does_not_walk_tls_ladder(monkeypatch):
     """ADVICE r2: plain TCP errors during the handshake are hard
     failures (reference: SSL_ERROR_SYSCALL -> error state), never a
@@ -400,7 +517,7 @@ def test_generic_ssl_error_does_not_walk_tls_ladder(monkeypatch):
 
     real_ctx = hf._tls_context
     for reason in ("DECRYPTION_FAILED_OR_BAD_RECORD_MAC",
-                   "UNEXPECTED_EOF_WHILE_READING", None):
+                   "CERTIFICATE_VERIFY_FAILED", None):
         attempts = []
 
         def fake_ctx(max_ver, _attempts=attempts, _reason=reason):
@@ -442,11 +559,15 @@ def test_walks_ladder_trigger_set():
     from minicrawler_spark.sources import httpfetch as hf
 
     for r in ("UNSUPPORTED_PROTOCOL", "TLSV1_ALERT_PROTOCOL_VERSION",
-              "VERSION_TOO_LOW", "WRONG_VERSION_NUMBER"):
+              "VERSION_TOO_LOW", "WRONG_VERSION_NUMBER",
+              "UNEXPECTED_EOF_WHILE_READING"):
         e = _ssl.SSLError("x")
         e.reason = r
         assert hf._walks_ladder(e), r
     assert hf._walks_ladder(TimeoutError("handshake"))
+    # ADVICE r5: a legacy server that just CLOSES on a modern hello
+    # surfaces as SSLEOFError (reason may be unset) — must walk
+    assert hf._walks_ladder(_ssl.SSLEOFError(8, "EOF in violation"))
     for r in ("DECRYPTION_FAILED_OR_BAD_RECORD_MAC", "CERTIFICATE_VERIFY_FAILED"):
         e = _ssl.SSLError("x")
         e.reason = r
