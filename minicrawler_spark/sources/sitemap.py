@@ -250,13 +250,27 @@ def sitemap_frontier(discovered: DataFrame, settings=None) -> DataFrame:
         .select("loc", "priority")
         .dropDuplicates(["loc"])
     )
+    # UNIQUE frontier index (ADVICE r5): the previous 31-bit
+    # xxhash64(loc) collides with ~50% probability at ~77k URLs
+    # (large sitemaps exceed that routinely), conflating
+    # output-to-input attribution. zipWithIndex over a
+    # range-partitioned loc sort assigns dense unique ids,
+    # deterministically (global loc order), without the
+    # single-partition shuffle a global row_number window would
+    # cost — still distributed at any sitemap collection size.
+    # monotonically_increasing_id stays out for the r3 reason
+    # (partition id in the upper bits overflows int).
+    ordered = pages.repartitionByRange(
+        F.col("loc")
+    ).sortWithinPartitions("loc")
+    indexed = ordered.rdd.zipWithIndex().map(
+        lambda t: (int(t[1]), t[0]["loc"], t[0]["priority"])
+    )
+    pages = discovered.sparkSession.createDataFrame(
+        indexed, "index int, loc string, priority double"
+    )
     return pages.select(
-        # stable 31-bit non-negative index derived from the URL —
-        # monotonically_increasing_id packs the partition id into the
-        # upper bits, so casting it to int overflows for every row
-        # outside partition 0 (ADVICE r3)
-        F.xxhash64("loc").bitwiseAND(F.lit((1 << 31) - 1))
-        .cast("int").alias("index"),
+        F.col("index"),
         F.col("loc").alias("rawurl"),
         F.lit(None).cast("string").alias("base"),
         F.lit(0).alias("depth"),

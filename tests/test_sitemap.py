@@ -144,9 +144,11 @@ def test_discover_empty_seeds_returns_empty_frame(spark):
 
 
 def test_sitemap_frontier_index_stable_nonnegative(spark):
-    """ADVICE r3: the frontier index must not overflow the 32-bit
-    cast for rows outside partition 0 — it is a stable 31-bit hash of
-    the URL, identical across repartitionings."""
+    """ADVICE r3 + r5: the frontier index must not overflow the
+    32-bit cast for rows outside partition 0, must be UNIQUE per URL
+    (a 31-bit hash collides at ~77k URLs, conflating attribution),
+    and must be identical across repartitionings (deterministic:
+    dense ids in global loc order)."""
     rows = [("http://s.test/sm.xml", "url", "http://s.test/p%d" % i,
              None, 0.5, 200) for i in range(500)]
     schema = ("sitemap_url string, kind string, loc string, "
@@ -159,6 +161,10 @@ def test_sitemap_frontier_index_stable_nonnegative(spark):
           for r in sitemap_frontier(many).collect()}
     assert f1 == f2  # partitioning-independent
     assert all(0 <= v < 2 ** 31 for v in f1.values())
+    # dense + unique: 500 URLs -> exactly ids 0..499, in loc order
+    assert sorted(f1.values()) == list(range(500))
+    assert [u for u, _i in sorted(f1.items(), key=lambda t: t[1])] \
+        == sorted(f1)
 
 
 def test_discover_and_crawl_from_sitemaps(spark, sitemap_server):
