@@ -53,6 +53,19 @@ def _iso(ts: int) -> str:
     ).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def _cdx_escape(url: str) -> str:
+    """CDXJ lines are space-delimited with the URL first; a raw
+    space/newline/tab in the URL (possible via the rawurl fallback
+    for unparsed seeds) would shift the fields and make read_cdxj
+    range-read garbage (ADVICE r5). Percent-encode exactly the
+    delimiter-breaking bytes ('%' first so decoding is unambiguous);
+    read_cdxj reverses this."""
+    return (
+        url.replace("%", "%25").replace(" ", "%20")
+        .replace("\n", "%0A").replace("\r", "%0D").replace("\t", "%09")
+    )
+
+
 def warc_record_bytes(url: str, date_iso: str, http_bytes: bytes) -> bytes:
     """One uncompressed WARC response record (headers + payload +
     the two mandatory trailing CRLFCRLF)."""
@@ -146,7 +159,7 @@ def write_warc(
             # OpenWayback index convention)
             lines = [
                 "%s %d %s" % (
-                    url, ts,
+                    _cdx_escape(url), ts,
                     _json.dumps(
                         {"offset": off, "length": ln, "status": status,
                          "filename": stem + ".warc.gz"},
@@ -300,13 +313,19 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
         line.getItem(2),
         "offset long, length long, status int, filename string",
     )
+    # reverse _cdx_escape: specific sequences first, %25 -> % LAST
+    # (same ordering discipline as percent-decoding generally)
+    url_col = line.getItem(0)
+    for pat, rep in (("%20", " "), ("%0A", "\n"), ("%0D", "\r"),
+                     ("%09", "\t"), ("%25", "%")):
+        url_col = F.replace(url_col, F.lit(pat), F.lit(rep))
     return (
         spark.read.text(
             path + ("/*.cdxj" if not path.endswith(".cdxj") else "")
         )
         .filter(F.length("value") > 0)
         .select(
-            line.getItem(0).alias("url"),
+            url_col.alias("url"),
             line.getItem(1).cast("long").alias("ts"),
             meta.alias("m"),
             F.regexp_replace(

@@ -331,6 +331,41 @@ def test_warc_dedup_loop_closure(spark, tmp_path):
     }
 
 
+def test_cdxj_url_with_spaces_roundtrips(spark, tmp_path):
+    """ADVICE r5: CDXJ lines are space-delimited with the URL first —
+    a URL containing spaces (rawurl fallback for unparsed seeds) must
+    not shift the fields. The writer percent-escapes the delimiter
+    bytes; read_cdxj decodes them, and read_warc_records still
+    range-reads the right member."""
+    from pyspark.sql import functions as F
+
+    from minicrawler_spark.sources.warc import (
+        read_cdxj,
+        read_warc_records,
+    )
+
+    out = str(tmp_path / "warc")
+    ugly = "http://x.test/a b?q=1 2&p=%20already"
+    rows = [
+        (ugly, 200, "text/plain", 0, None, b"spaced"),
+        ("http://x.test/clean", 200, "text/plain", 0, None, b"clean"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, status int, content_type string, "
+        "elapsed_ms long, head binary, body binary",
+    ).coalesce(1)
+    write_warc(df, out).collect()
+
+    idx = read_cdxj(spark, out)
+    assert {r["url"] for r in idx.collect()} == {u for u, *_ in rows}
+    got = read_warc_records(
+        spark, out, selector=F.col("url") == ugly
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["url"] == ugly and bytes(got[0]["body"]) == b"spaced"
+
+
 def test_warc_write_through_fs_shim(spark, tmp_path):
     """The sink honors the pluggable FS (executors pickle it)."""
     from tests.test_seen_scale import _SlowShimFS
