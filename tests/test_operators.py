@@ -451,6 +451,14 @@ def test_multimodal_plumbing(spark):
     # determinism
     again = {r["media_ref"]: r["sha256"] for r in decode_and_featurize(media).collect()}
     assert again == {k: v["sha256"] for k, v in got.items()}
+    # VERDICT r4 #2: no 64-bucket parallelism ceiling — the decode
+    # stage partition count follows the session's parallelism by
+    # default and is caller-tunable for bigger clusters
+    dp = spark.sparkContext.defaultParallelism
+    assert decode_and_featurize(media).rdd.getNumPartitions() == dp
+    assert decode_and_featurize(
+        media, n_buckets=256
+    ).rdd.getNumPartitions() == 256
 
 
 def test_simhash_pairs_invariants(spark):
