@@ -331,6 +331,77 @@ def test_warc_dedup_loop_closure(spark, tmp_path):
     }
 
 
+def test_warc_interop_records(spark, tmp_path):
+    """VERDICT r4 #3 (ISO 28500 §6 / warcio-pywb conventions): every
+    rolled file opens with a warcinfo record; responses carry a
+    WARC-Payload-Digest (sha1 base32 of the body); write_requests
+    adds a request record per response, linked by WARC-Concurrent-To;
+    the read paths still skip non-response records so round-trips are
+    unchanged."""
+    import base64 as _b64
+    import glob as _glob
+    import hashlib as _hashlib
+
+    from minicrawler_spark.sources.warc import _iter_members
+
+    out = str(tmp_path / "warc")
+    res = crawl(
+        spark,
+        ["http://host%d.test/page/0" % i for i in range(3)],
+        CrawlSettings(timeout=600, writehead=True),
+    ).filter("outcome = 'done'")
+    want = {r["url"]: bytes(r["body"] or b"") for r in res.collect()}
+    write_warc(res, out, write_requests=True).collect()
+
+    def headers_of(rec: bytes) -> dict:
+        head = rec.split(b"\r\n\r\n", 1)[0].decode("utf-8")
+        return dict(
+            (k.strip().lower(), v.strip())
+            for k, _s, v in (ln.partition(":")
+                             for ln in head.split("\r\n")[1:])
+        )
+
+    n_resp = 0
+    for path in _glob.glob(out + "/*.warc.gz"):
+        members = [m for m in _iter_members(open(path, "rb").read())]
+        # first member: warcinfo with the mandatory fields
+        h0 = headers_of(members[0])
+        assert h0["warc-type"] == "warcinfo"
+        assert h0["content-type"] == "application/warc-fields"
+        assert h0["warc-record-id"].startswith("<urn:sha256:")
+        info_body = members[0].split(b"\r\n\r\n", 1)[1]
+        assert b"software: minicrawler-spark/" in info_body
+        assert b"format: WARC File Format 1.1" in info_body
+        # then request/response pairs, linked
+        rest = members[1:]
+        assert len(rest) % 2 == 0
+        for req, resp in zip(rest[::2], rest[1::2]):
+            hq, hr = headers_of(req), headers_of(resp)
+            assert hq["warc-type"] == "request"
+            assert hq["content-type"] == \
+                "application/http;msgtype=request"
+            assert hr["warc-type"] == "response"
+            assert hq["warc-concurrent-to"] == hr["warc-record-id"]
+            assert hq["warc-target-uri"] == hr["warc-target-uri"]
+            # the reconstructed request is a real HTTP/1.1 request
+            # for the fetched path on the fetched host
+            req_http = req.split(b"\r\n\r\n", 2)[1]
+            assert req_http.startswith(b"GET /")
+            assert b"\r\nHost: " in b"\r\n" + req_http
+            # payload digest: sha1 base32 of the response body
+            url = hr["warc-target-uri"]
+            digest = "sha1:" + _b64.b32encode(
+                _hashlib.sha1(want[url]).digest()
+            ).decode("ascii")
+            assert hr["warc-payload-digest"] == digest
+            n_resp += 1
+    assert n_resp == len(want)
+    # read paths unchanged: non-response records are skipped
+    got = {r["url"]: bytes(r["body"] or b"")
+           for r in read_warc(spark, out).collect()}
+    assert got == want
+
+
 def test_cdxj_url_with_spaces_roundtrips(spark, tmp_path):
     """ADVICE r5: CDXJ lines are space-delimited with the URL first —
     a URL containing spaces (rawurl fallback for unparsed seeds) must
@@ -364,6 +435,56 @@ def test_cdxj_url_with_spaces_roundtrips(spark, tmp_path):
     ).collect()
     assert len(got) == 1
     assert got[0]["url"] == ugly and bytes(got[0]["body"]) == b"spaced"
+
+
+def test_read_warc_chunked_memory_bounded(spark, tmp_path):
+    """VERDICT r4 #5: read_warc streams archives through the FS
+    layer in bounded ranged reads — never a whole-blob read, every
+    request at most chunk_bytes — and produces the same records as
+    an unconstrained read."""
+    import json as _json
+
+    out = str(tmp_path / "warc")
+    log = str(tmp_path / "ranges.log")
+
+    class _RangeLogFS:
+        """LocalFS pass-through that logs every read_range request
+        and forbids whole-blob reads (executor-side log file works
+        in local mode)."""
+
+        def __init__(self, log_path):
+            self.log_path = log_path
+
+        def read_bytes(self, path):
+            raise AssertionError("whole-blob read: %s" % path)
+
+        def read_range(self, path, offset, length):
+            with open(self.log_path, "a") as f:
+                f.write(_json.dumps([offset, length]) + "\n")
+            with open(path, "rb") as f:
+                f.seek(offset)
+                return f.read(length)
+
+        def listdir(self, path):
+            return sorted(os.listdir(path)) if os.path.isdir(path) else []
+
+    res = crawl(
+        spark,
+        ["http://host%d.test/page/0" % i for i in range(6)],
+        CrawlSettings(timeout=600, writehead=True),
+    ).filter("outcome = 'done'")
+    # small cap -> several rolled files; several records per file
+    write_warc(res, out, max_archive_bytes=8 * 1024).collect()
+
+    want = {(r["url"], bytes(r["body"] or b""))
+            for r in read_warc(spark, out).collect()}
+    got = {(r["url"], bytes(r["body"] or b""))
+           for r in read_warc(spark, out, fs=_RangeLogFS(log),
+                              chunk_bytes=1024).collect()}
+    assert got == want and len(got) == 6
+    reqs = [_json.loads(ln) for ln in open(log).read().splitlines()]
+    assert reqs and all(ln == 1024 for _off, ln in reqs)
+    assert len(reqs) > len(got)  # genuinely chunked, multiple reads
 
 
 def test_warc_write_through_fs_shim(spark, tmp_path):
