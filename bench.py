@@ -188,6 +188,10 @@ def main():
         "q_ip_politeness",
         "q_host_sessions",
         "q_repetition",
+        # iterative connected-components paths (VERDICT r4 #3: bench
+        # both so a CC perf regression is visible in the artifact)
+        "q_dup_clusters",
+        "q_dup_clusters_star",
         # The heavy one: the synthetic corpus is pathologically
         # self-similar (73% of ALL doc pairs clear jaccard 0.5), so
         # its OUTPUT is ~9M verified pairs at sf0.1 — a data artifact.
