@@ -1,0 +1,194 @@
+"""End-to-end training-corpus build (north rule: the composition a
+real LLM-data-pipeline user runs first):
+
+    crawl -> write_warc -> warc_to_documents -> line_dedup (CCNet
+    boilerplate removal) -> exact dedup -> minhash near-dup pairs ->
+    dup_clusters survivors -> quality + repetition filters ->
+    hash_split -> pack_token_sequences
+
+Every stage is an individually-gated operator (see SURVEY §2 /
+__spark_entry__.queries); this module proves and maintains the
+COMPOSITION — schemas line up, survivor selection is deterministic,
+splits are content-addressed, and the whole chain is re-runnable on
+the same inputs with identical outputs (no RNG, no wall clock).
+
+Library use:
+
+    from minicrawler_spark.jobs.corpus_job import build_corpus
+    out = build_corpus(spark, archive_dir)     # dict of DataFrames
+    out["packed"].write.parquet(...)
+
+spark-submit use (writes parquet per stage + a JSON summary line):
+
+    spark-submit --py-files dist/minicrawler_spark.zip \
+        minicrawler_spark/jobs/corpus_job.py \
+        --archive /data/warc --output /data/corpus
+
+Stage shapes at 100 TB (why this composes safely): line_dedup
+shuffles (hash, count) pairs only; exact dedup is one map-side-
+partial groupBy; minhash pairs are banded + size-gated-verified
+(never all-pairs); cluster survivor selection is one anti join
+against the loser set (losers << corpus); the quality/repetition
+filters are pure codegen scans; hash_split adds a column with no
+shuffle; packing's only driver collect is O(num_partitions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_corpus(
+    spark: SparkSession,
+    archive_dir: str,
+    *,
+    line_max_count: int = 2,
+    minhash_threshold: float = 0.8,
+    min_quality: float = 0.25,
+    max_dup_line_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.5,
+    min_chars: int = 1,
+    splits=None,
+    pack_budget: int = 2048,
+    cluster_method: str = "auto",
+) -> dict:
+    """Run the corpus chain over a .warc.gz archive directory.
+
+    Returns a dict of LAZY DataFrames (caller actions them):
+      documents   — archive -> documents-table adapter output
+      line_deduped— after corpus-level line dedup (empty docs dropped)
+      survivors   — after exact + near-dup cluster dedup
+      filtered    — after quality/repetition gates, with the scores
+      split       — filtered + content-addressed `split` column
+      packed      — fixed-token-budget sequences over the train split
+
+    Determinism: every keep/drop decision is content-addressed
+    (hashes of text/doc_id), so re-running on the same archives gives
+    byte-identical outputs regardless of partitioning.
+    """
+    from ..operators.dedup import (
+        dup_clusters,
+        exact_dedup,
+        line_dedup,
+        minhash_dup_pairs,
+    )
+    from ..operators.packing import pack_token_sequences
+    from ..operators.sampling import hash_split
+    from ..operators.textstats import quality_score, repetition_stats
+    from ..sources.warc import warc_to_documents
+
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    docs = warc_to_documents(spark, archive_dir)
+
+    # 1. corpus-level line dedup (boilerplate chrome off every doc);
+    #    documents reduced to nothing drop out here
+    ld = line_dedup(docs, max_count=line_max_count)
+    line_deduped = ld.filter(
+        (F.length("text") >= min_chars)
+    ).select("doc_id", "text")
+
+    # 2. exact dedup: keep min doc_id per identical text
+    keep_exact = exact_dedup(line_deduped).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    exact_kept = line_deduped.join(keep_exact, "doc_id", "left_semi")
+
+    # 3. near-dup clusters: survivors are cluster representatives
+    #    (min doc_id per connected component) plus every unpaired doc
+    pairs = minhash_dup_pairs(exact_kept, threshold=minhash_threshold)
+    clusters = dup_clusters(pairs, method=cluster_method)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    survivors = exact_kept.join(losers, "doc_id", "left_anti")
+
+    # 4. quality + repetition gates (Gopher-style), scores kept on
+    #    the rows so downstream mixing can re-cut without re-scoring
+    q = quality_score(survivors).select("doc_id", "quality")
+    rep = repetition_stats(survivors).select(
+        "doc_id", "dup_line_frac", "top_bigram_frac"
+    )
+    filtered = (
+        survivors.join(q, "doc_id")
+        .join(rep, "doc_id")
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        )
+    )
+
+    # 5. content-addressed split + 6. sequence packing on train
+    split = hash_split(filtered, splits)
+    packed = pack_token_sequences(
+        split.filter(F.col("split") == "train").select("doc_id", "text"),
+        budget=pack_budget,
+    )
+    return {
+        "documents": docs,
+        "line_deduped": line_deduped,
+        "survivors": survivors,
+        "filtered": filtered,
+        "split": split,
+        "packed": packed,
+    }
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(
+        description="minicrawler-spark corpus build"
+    )
+    p.add_argument("--archive", required=True,
+                   help=".warc.gz directory (write_warc output)")
+    p.add_argument("--output", required=True, help="parquet root")
+    p.add_argument("--line-max-count", type=int, default=2)
+    p.add_argument("--minhash-threshold", type=float, default=0.8)
+    p.add_argument("--min-quality", type=float, default=0.25)
+    p.add_argument("--max-dup-line-frac", type=float, default=0.5)
+    p.add_argument("--max-top-bigram-frac", type=float, default=0.5)
+    p.add_argument("--pack-budget", type=int, default=2048)
+    p.add_argument("--train", type=float, default=0.9)
+    p.add_argument("--val", type=float, default=0.05)
+    p.add_argument("--test", type=float, default=0.05)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    spark = SparkSession.builder.getOrCreate()
+    out = build_corpus(
+        spark,
+        args.archive,
+        line_max_count=args.line_max_count,
+        minhash_threshold=args.minhash_threshold,
+        min_quality=args.min_quality,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        splits={"train": args.train, "val": args.val,
+                "test": args.test},
+        pack_budget=args.pack_budget,
+    )
+    summary = {}
+    for name in ("filtered", "split", "packed"):
+        path = "%s/%s" % (args.output.rstrip("/"), name)
+        out[name].write.mode("overwrite").parquet(path)
+        summary[name] = spark.read.parquet(path).count()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(
+            "%s/split" % args.output.rstrip("/")
+        ).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({"rows": summary, "splits": split_counts}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

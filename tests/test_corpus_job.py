@@ -1,0 +1,109 @@
+"""End-to-end corpus build (jobs/corpus_job.py): the full
+crawl -> warc -> documents -> line_dedup -> exact/near dedup ->
+quality filter -> split -> pack chain on the fixture web, with
+planted duplicates — pins survivor counts, split sizes and
+packed-sequence totals, and proves the chain is deterministic."""
+
+import pyspark.sql.functions as F
+
+from minicrawler_spark.config import CrawlSettings
+from minicrawler_spark.jobs.corpus_job import build_corpus
+from minicrawler_spark.sources.warc import write_warc
+from minicrawler_spark.streaming.crawl import crawl
+
+SEEDS = (
+    ["http://host%d.test/page/%d" % (h, i)
+     for h in range(3) for i in range(4)]
+    # planted duplicates: /page/0N serves the same bytes as /page/N
+    # under a distinct URL
+    + ["http://host0.test/page/01", "http://host1.test/page/02"]
+)
+
+
+def _build(spark, tmp_path, name):
+    out = str(tmp_path / name)
+    raw = crawl(
+        spark, SEEDS, CrawlSettings(timeout=600, writehead=True)
+    ).filter("outcome = 'done'")
+    write_warc(raw, out).collect()
+    return build_corpus(spark, out, pack_budget=512)
+
+
+def test_corpus_build_end_to_end(spark, tmp_path):
+    corpus = _build(spark, tmp_path, "warc")
+
+    # every fetched page becomes a document
+    n_docs = corpus["documents"].count()
+    assert n_docs == len(SEEDS) == 14
+
+    # line_dedup dropped corpus-wide boilerplate (the table line is
+    # on every page, so with max_count=2 it is gone from every doc)
+    ld = {r["doc_id"]: r["text"]
+          for r in corpus["line_deduped"].collect()}
+    assert len(ld) == 14
+    assert all("cell A" not in t for t in ld.values())
+    # but per-page content survived
+    assert any("para 0 with" in t for t in ld.values())
+
+    # the two planted exact duplicates collapse; min doc_id survives
+    # (lexicographic: ".../page/01" < ".../page/1")
+    surv = {r["doc_id"] for r in corpus["survivors"].collect()}
+    assert len(surv) == 12
+    assert "http://host0.test/page/01" in surv
+    assert "http://host0.test/page/1" not in surv
+    assert "http://host1.test/page/02" in surv
+    assert "http://host1.test/page/2" not in surv
+
+    # quality gates keep the real pages (long, low-repetition text)
+    filt = corpus["filtered"]
+    rows = filt.collect()
+    assert {r["doc_id"] for r in rows} == surv
+    assert all(r["quality"] >= 0.25 for r in rows)
+
+    # split: every row named, sizes sum, content-addressed
+    split = corpus["split"].select("doc_id", "split").collect()
+    by = {}
+    for r in split:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert sum(len(v) for v in by.values()) == len(surv)
+    assert set(by) <= {"train", "val", "test"}
+
+    # packing: train tokens conserved across sequences
+    train_ids = by.get("train", set())
+    packed = corpus["packed"].collect()
+    from minicrawler_spark.operators.dedup import tokenize
+
+    n_tok = (
+        corpus["split"].filter(F.col("split") == "train")
+        .select(F.sum(F.size(tokenize(F.col("text")))).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sum(p["total_tokens"] for p in packed) == n_tok
+    assert sum(p["n_docs"] for p in packed) == len(train_ids)
+    assert [p["seq_id"] for p in packed] == sorted(
+        p["seq_id"] for p in packed
+    )
+
+
+def test_corpus_build_deterministic(spark, tmp_path):
+    """Two full runs (separate archives, fresh lineage) produce
+    identical survivor sets, splits and packing — everything is
+    content-addressed, nothing depends on partitioning or RNG."""
+    a = _build(spark, tmp_path, "warc_a")
+    b = _build(spark, tmp_path, "warc_b")
+    sa = {(r["doc_id"], r["split"])
+          for r in a["split"].select("doc_id", "split").collect()}
+    sb = {(r["doc_id"], r["split"])
+          for r in b["split"].select("doc_id", "split").collect()}
+    assert sa == sb
+    pa = sorted(
+        (r["seq_id"], r["n_docs"], r["total_tokens"],
+         r["first_doc_id"], r["last_doc_id"])
+        for r in a["packed"].collect()
+    )
+    pb = sorted(
+        (r["seq_id"], r["n_docs"], r["total_tokens"],
+         r["first_doc_id"], r["last_doc_id"])
+        for r in b["packed"].collect()
+    )
+    assert pa == pb and pa
