@@ -1084,6 +1084,17 @@ def crawl_round(
     canon = pending if pre_canonicalized else _canonicalize_df(pending)
     ok, errors = _gate_errors(canon, round_no)
 
+    # ONE exchange for schedule + fetch: repartition by host FIRST so
+    # the politeness window's ClusteredDistribution(host) is already
+    # satisfied by hashpartitioning(host, n) — the window then only
+    # sorts within partitions instead of adding a second exchange
+    # before the fetch repartition (two back-to-back shuffles on the
+    # same key family cost ~0.3-0.5s of AQE stage+gap per round at
+    # local[8]). An explicit user repartition also pins the fetch
+    # stage's task count: AQE would coalesce the window's tiny shuffle
+    # to 1 partition and serialize the (expensive-per-row) fetch.
+    ok = ok.repartition(num_partitions, "host")
+
     # per-host politeness scheduling (SURVEY §2.6): crawl order per
     # host = (priority, seq) FIFO; slot n waits n*delay ms, where the
     # per-host delay is max(settings.delay, robots Crawl-delay)
@@ -1117,6 +1128,11 @@ def crawl_round(
     ).drop("host_count")
     if settings.politeness_by_ip:
         ok = ok.drop("ip_slot")
+        # the ip-slot window re-clustered the rows by its own 64-way
+        # key through an AQE-coalescible exchange; re-pin the fetch
+        # stage's host clustering + task count (this mode pays one
+        # extra exchange, as the reference pays its per-IP hash walk)
+        ok = ok.repartition(num_partitions, "host")
 
     if settings.per_host_budget > 0:
         # over-budget rows defer to the next round, keeping their
@@ -1133,18 +1149,25 @@ def crawl_round(
     else:
         deferred = None
 
-    # co-locate same-host jobs; politeness is enforced by the schedule
-    # computed above (wait_ms is global, not per-partition), so a hot
-    # host CAN be split across partitions without breaking the delay
-    # contract: salt = slot // hot_host_split fans a host with more
-    # than `hot_host_split` scheduled slots out to multiple partitions
-    # (SURVEY §4 skew note). Small hosts keep salt 0 — one partition.
-    part_cols = [F.xxhash64("host")]
+    # Hot-host skew split (SURVEY §4 skew note): politeness is
+    # enforced by the schedule computed above (wait_ms is global, not
+    # per-partition), so a hot host CAN be split across partitions
+    # without breaking the delay contract. Rows already sit clustered
+    # by host from the single exchange above; only rows BEYOND the
+    # first hot_host_split slots of an overflowing host need to move.
+    # The cold side (virtually always everything) passes through
+    # narrow — filter preserves the host clustering — while the hot
+    # tail fans out to (host, slot // hot_host_split) buckets through
+    # its own exchange, which is EMPTY on normal rounds (an empty AQE
+    # stage, not a full reshuffle of the frontier).
     if settings.hot_host_split > 0:
-        part_cols.append(
-            (F.col("slot") / F.lit(settings.hot_host_split)).cast("long")
+        cold = ok.filter(F.col("slot") < settings.hot_host_split)
+        hot = ok.filter(F.col("slot") >= settings.hot_host_split).repartition(
+            num_partitions,
+            F.col("host"),
+            (F.col("slot") / F.lit(settings.hot_host_split)).cast("long"),
         )
-    ok = ok.repartition(num_partitions, *part_cols)
+        ok = cold.unionByName(hot)
     if settings.real_time:
         # real-network mode: the stage sleeps each job until its
         # scheduled offset, so rows must arrive in schedule order
