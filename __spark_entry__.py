@@ -466,6 +466,36 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_pixel_recovery(spark, sf):
+    """Full pixel recovery plumbing (operators/multimodal.py
+    decode_pixels; real codecs = PNG unfilter + JPEG baseline/
+    progressive in operators/jpeg.py): the Arrow mapInPandas path
+    runs over synthesized PNGSTUB media, whose deterministic pixel
+    construction (sha256 tiled to W*H*3) the DuckDB oracle mirrors
+    in hex space. The REAL codecs are gated differentially against
+    javax.imageio in tests/test_jpeg.py + test_operators.py."""
+    from minicrawler_spark.operators.multimodal import decode_pixels
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("content_type"),
+        F.concat(
+            F.lit(b"PNGSTUB:"), F.encode("text", "utf-8")
+        ).alias("data"),
+    )
+    return decode_pixels(media).select(
+        "media_ref", "width", "height", "pixel_format",
+        # DuckDB's sha256 takes VARCHAR only, so both engines hash
+        # the lowercase-hex rendering of the pixel buffer
+        F.sha2(F.lower(F.hex("pixels")), 256).alias("pixel_sha"),
+        F.length("pixels").cast("long").alias("pixel_bytes"),
+    )
+
+
 def q_url_canonicalize(spark, sf):
     """WHATWG canonicalization over synthesized messy URLs. The
     oracle is the closed form of the construction (uppercase scheme/
@@ -546,6 +576,7 @@ QUERIES = {
     "q_crawl_delay_schedule": q_crawl_delay_schedule,
     "q_hot_host_salt": q_hot_host_salt,
     "q_multimodal_features": q_multimodal_features,
+    "q_pixel_recovery": q_pixel_recovery,
     "q_url_canonicalize": q_url_canonicalize,
 }
 
@@ -975,6 +1006,28 @@ ORACLES = {
              1 + ('0x' || substr(sha256('PNGSTUB:' || text), 3, 2))::INT % 64
                as height
       from documents
+    """,
+    "q_pixel_recovery": """
+      with m as (
+        select 'img://doc/' || doc_id::VARCHAR as media_ref,
+               'PNGSTUB:' || text as data,
+               1 + ('0x' || substr(sha256('PNGSTUB:' || text), 1, 2))::INT
+                 % 64 as width,
+               1 + ('0x' || substr(sha256('PNGSTUB:' || text), 3, 2))::INT
+                 % 64 as height
+        from documents
+      ), px as (
+        select media_ref, width, height,
+               substr(repeat(sha256('px' || data),
+                             (width * height * 3 + 31) // 32),
+                      1, width * height * 3 * 2) as pixels_hex
+        from m
+      )
+      select media_ref, width, height,
+             'rgb8' as pixel_format,
+             sha256(pixels_hex) as pixel_sha,
+             (length(pixels_hex) // 2)::BIGINT as pixel_bytes
+      from px
     """,
     "q_url_canonicalize": """
       select doc_id,

@@ -33,8 +33,9 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
-    "MEDIA_SCHEMA", "FEATURE_SCHEMA", "AV_SCHEMA",
-    "decode_and_featurize", "probe_av", "media_from_crawl",
+    "MEDIA_SCHEMA", "FEATURE_SCHEMA", "AV_SCHEMA", "PIXELS_SCHEMA",
+    "decode_and_featurize", "decode_pixels", "probe_av",
+    "media_from_crawl",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -63,14 +64,14 @@ FEATURE_SCHEMA = StructType(
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(data: bytes):
-    """Real PNG decode, stdlib only: IHDR gives width/height (bytes
-    16-24 of the file); the concatenated IDAT streams zlib-inflate to
-    the filtered scanlines, whose digest is the 64-byte content
-    feature (a stand-in for a pixel embedding — the raw pixels are
-    fully recovered for filter types 0-4 by _unfilter below, so a
-    model featurizer slots in at the marked seam). Raises ValueError
-    on malformed input like a real codec."""
+def _png_raw(data: bytes):
+    """Real PNG decode, stdlib only: walk the chunks, zlib-inflate
+    the concatenated IDATs, unfilter the scanlines. Returns
+    (width, height, bit_depth, color_type, unfiltered_bytes, plte)
+    where `unfiltered_bytes` is height*stride of raw sample data and
+    `plte` the PLTE payload (or None). Raises ValueError on
+    malformed input like a real codec; Adam7-interlaced files are
+    rejected (the scanline layout differs per pass)."""
     import struct
     import zlib
 
@@ -84,14 +85,19 @@ def _decode_png(data: bytes):
     )
     if not (0 < width < 1 << 24 and 0 < height < 1 << 24):
         raise ValueError("PNG dimensions out of range")
+    if data[28] != 0:
+        raise ValueError("PNG Adam7 interlace unsupported")
     # walk chunks, concatenating IDAT payloads
     idat = []
+    plte = None
     pos = 8
     while pos + 8 <= len(data):
         ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
         payload = data[pos + 8:pos + 8 + ln]
         if typ == b"IDAT":
             idat.append(payload)
+        elif typ == b"PLTE":
+            plte = payload
         if typ == b"IEND":
             break
         pos += 12 + ln  # length + type + payload + crc
@@ -109,8 +115,14 @@ def _decode_png(data: bytes):
     if len(raw) < height * (stride + 1):
         raise ValueError("PNG IDAT shorter than scanlines")
     pixels = _unfilter(raw, height, stride, bpp)
-    # featurizer seam: sha256 over the recovered pixel bytes; a real
-    # embedding model consumes `pixels` here instead
+    return width, height, bit_depth, color_type, pixels, plte
+
+
+def _decode_png(data: bytes):
+    """Dimensions + 64-byte content feature (sha256 of the recovered
+    pixel bytes — a stand-in for a pixel embedding; decode_pixels
+    below hands a model featurizer the actual samples)."""
+    width, height, _depth, _ctype, pixels, _plte = _png_raw(data)
     feature = hashlib.sha256(pixels).digest() * 2  # 64 bytes
     return width, height, feature
 
@@ -323,9 +335,10 @@ def _decode_jpeg(data: bytes):
     """Real JPEG header decode, stdlib only: walk the marker segments
     to the SOF frame header (ITU T.81 §B.2.2) for width/height —
     SOF0 baseline and SOF2 progressive cover the web — then digest
-    the entropy-coded scan as the 64-byte content feature (the
-    featurizer seam; full IDCT pixel recovery is out of scope).
-    Raises ValueError on malformed input like a real codec."""
+    the entropy-coded scan as the 64-byte content feature (cheap:
+    no entropy decode; full pixel recovery lives in decode_pixels /
+    operators/jpeg.py). Raises ValueError on malformed input like a
+    real codec."""
     import struct
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -757,6 +770,121 @@ def decode_and_featurize(media: DataFrame, batch_hint: int = 256,
 
     balanced = _balance(media, n_buckets)
     return balanced.mapInPandas(stage, FEATURE_SCHEMA)
+
+
+PIXELS_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_format", StringType()),  # rgb8|rgba8|gray8|graya8
+        StructField("pixels", BinaryType()),         # H*W*channels raw bytes
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def _png_pixels(data: bytes):
+    """PNG -> (width, height, pixel_format, sample bytes): all five
+    color types, bit depths 1/2/4/8/16 (16-bit takes the high byte,
+    palette expands through PLTE). numpy does the sample unpacking."""
+    import numpy as np
+
+    width, height, depth, ctype, raw, plte = _png_raw(data)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = (width * depth * channels + 7) // 8
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    if depth == 8:
+        samples = a[:, : width * channels]
+    elif depth == 16:
+        samples = a[:, 0:2 * width * channels:2]  # big-endian high byte
+    else:  # 1 / 2 / 4 — gray or palette indices, one channel
+        bits = np.unpackbits(a, axis=1)
+        vals = (
+            bits[:, : (stride * 8 // depth) * depth]
+            .reshape(height, -1, depth)
+            * (1 << np.arange(depth - 1, -1, -1))
+        ).sum(axis=2).astype(np.uint8)
+        samples = vals[:, :width]
+        if ctype == 0:
+            samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if pal.size % 3:
+            raise ValueError("PNG PLTE not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idx = samples.astype(np.int64)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return width, height, "rgb8", pal[idx].tobytes()
+    fmt = {0: "gray8", 2: "rgb8", 4: "graya8", 6: "rgba8"}[ctype]
+    return width, height, fmt, np.ascontiguousarray(samples).tobytes()
+
+
+def _pixels_of(data: bytes):
+    """Magic dispatch for full sample recovery: PNG (all color
+    types/depths) and JPEG (baseline + progressive, via
+    operators/jpeg.py). GIF/WebP/AVIF pixel recovery stays the
+    documented seam (their entropy layers are LZW/VP8/AV1);
+    dimensions and content digests for those come from
+    decode_and_featurize."""
+    if data.startswith(_PNG_SIG):
+        return _png_pixels(data)
+    if data[0:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(data)
+        return px.shape[1], px.shape[0], "rgb8", px.tobytes()
+    if data.startswith(b"PNGSTUB:"):
+        w, h, _feat = _decode_image_stub(data)
+        seed = hashlib.sha256(b"px" + data).digest()
+        reps = (w * h * 3 + len(seed) - 1) // len(seed)
+        return w, h, "rgb8", (seed * reps)[: w * h * 3]
+    raise NotImplementedError(
+        "no pixel decoder for this magic (PNG/JPEG supported; "
+        "GIF/WebP/AVIF remain metadata-only)"
+    )
+
+
+def decode_pixels(media: DataFrame, n_buckets: int = 0) -> DataFrame:
+    """Full pixel recovery over binary media columns: PNG (filter
+    reconstruction via the vectorized unfilter) and JPEG (baseline +
+    progressive Huffman/DCT — operators/jpeg.py) to raw sample
+    buffers a model featurizer can consume. Same 100 TB shape as
+    decode_and_featurize: content-hash repartition (default bucket
+    count = session parallelism), Arrow batches in and out, per-row
+    decode errors instead of task failures."""
+
+    def stage(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.to_dict("records"):
+                data = bytes(r["data"] or b"")
+                rec = {
+                    "media_ref": r["media_ref"],
+                    "n_bytes": len(data),
+                    "width": None, "height": None,
+                    "pixel_format": None, "pixels": None,
+                    "decode_error": None,
+                }
+                try:
+                    w, h, fmt, px = _pixels_of(data)
+                    rec.update({"width": w, "height": h,
+                                "pixel_format": fmt, "pixels": px})
+                except (NotImplementedError, ValueError) as e:
+                    rec["decode_error"] = str(e)
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PIXELS_SCHEMA.fields]
+            )
+
+    balanced = _balance(media, n_buckets)
+    return balanced.mapInPandas(stage, PIXELS_SCHEMA)
 
 
 def media_from_crawl(results: DataFrame) -> DataFrame:

@@ -1072,3 +1072,200 @@ def test_decode_and_featurize_mixed_real_and_stub(spark):
     assert "JPEG" in out["img://trunc"]["decode_error"]
     assert out["img://bad"]["width"] is None
     assert "no decoder" in out["img://bad"]["decode_error"]
+
+
+# ---------- full pixel recovery (decode_pixels) ----------
+
+def _png_pixels_fn():
+    from minicrawler_spark.operators.multimodal import _png_pixels
+    return _png_pixels
+
+
+def test_png_pixels_roundtrip_exact_all_filters():
+    """8-bit RGB through every PNG filter type reconstructs the
+    ORIGINAL samples byte-exactly (lossless format, lossless
+    decoder)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    w, h = 16, 10
+    pixels = rng.integers(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                    [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]):
+        png = _encode_png(w, h, pixels, filters=filters)
+        W, H, fmt, out = _png_pixels_fn()(png)
+        assert (W, H, fmt) == (w, h, "rgb8")
+        assert out == pixels, "filters %s" % filters
+
+
+def test_png_pixels_gray_alpha_types_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    for ctype, ch, fmt in ((0, 1, "gray8"), (4, 2, "graya8"),
+                           (6, 4, "rgba8")):
+        w, h = 9, 7
+        pixels = rng.integers(
+            0, 256, size=h * w * ch, dtype=np.uint8
+        ).tobytes()
+        png = _encode_png(w, h, pixels, color_type=ctype,
+                          filters=[2] * h)
+        W, H, f, out = _png_pixels_fn()(png)
+        assert (W, H, f) == (w, h, fmt)
+        assert out == pixels
+
+
+def test_png_pixels_one_bit_gray():
+    """Hand-built 1-bit grayscale: a vertical stripe pattern packed
+    MSB-first; decoded samples must be 0/255."""
+    import struct
+    import zlib
+
+    w, h = 12, 3
+    stride = (w + 7) // 8
+    row = bytearray()
+    for _y in range(h):
+        row.append(0)  # filter none
+        row += bytes([0b10101010, 0b10100000])[:stride]
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(row)))
+           + chunk(b"IEND", b""))
+    W, H, fmt, out = _png_pixels_fn()(png)
+    assert (W, H, fmt) == (w, h, "gray8")
+    expect = bytes([255, 0] * 6)
+    assert out == expect * h
+
+
+def test_png_pixels_interlaced_rejected():
+    import struct
+    import zlib
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # Adam7
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 12))))
+           + chunk(b"IEND", b""))
+    import pytest
+
+    with pytest.raises(ValueError, match="interlace"):
+        _png_pixels_fn()(png)
+
+
+def _imageio_png(spark, img_type, w, h, seed):
+    """Build a PNG with the JVM's ImageIO (an INDEPENDENT encoder):
+    deterministic pixels via setRGB, returns (png_bytes,
+    expected_rgb_fn(x, y) -> int ARGB-less rgb)."""
+    jvm = spark._jvm
+    t = getattr(jvm.java.awt.image.BufferedImage, img_type)
+    img = jvm.java.awt.image.BufferedImage(w, h, t)
+    vals = []
+    for y in range(h):
+        for x in range(w):
+            v = (seed + 37 * x + 101 * y) % 256
+            rgb = (v << 16) | (((v * 3) % 256) << 8) | ((v * 7) % 256)
+            img.setRGB(x, y, rgb)
+            vals.append(img.getRGB(x, y) & 0xFFFFFF)  # after quantize
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    return bytes(baos.toByteArray()), vals
+
+
+def test_png_pixels_palette_and_16bit_vs_imageio(spark):
+    """Palette (TYPE_BYTE_INDEXED) and 16-bit gray (TYPE_USHORT_GRAY)
+    PNGs from the JVM's encoder — formats our own test encoder can't
+    produce — decode to the same samples ImageIO reports."""
+    import numpy as np
+
+    # palette PNG
+    png, vals = _imageio_png(spark, "TYPE_BYTE_INDEXED", 9, 5, 3)
+    W, H, fmt, out = _png_pixels_fn()(png)
+    assert (W, H, fmt) == (9, 5, "rgb8")
+    got = np.frombuffer(out, dtype=np.uint8).reshape(5, 9, 3)
+    exp = np.array(
+        [[(v >> 16) & 255, (v >> 8) & 255, v & 255] for v in vals],
+        dtype=np.uint8,
+    ).reshape(5, 9, 3)
+    assert (got == exp).all()
+
+    # 16-bit grayscale PNG: the PNG writer stores the RAW 16-bit
+    # raster samples (getRGB would apply Java's linear-gray -> sRGB
+    # gamma, which is not a pixel-format property); our decoder keeps
+    # the high byte of each stored sample exactly
+    jvm = spark._jvm
+    t = jvm.java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    img = jvm.java.awt.image.BufferedImage(7, 4, t)
+    raster = img.getRaster()
+    samples = []
+    for y in range(4):
+        for x in range(7):
+            v = ((9 + 37 * x + 101 * y) * 257 * 97) % 65536
+            raster.setSample(x, y, 0, v)
+            samples.append(v)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    png = bytes(baos.toByteArray())
+    W, H, fmt, out = _png_pixels_fn()(png)
+    assert (W, H) == (7, 4)
+    assert fmt == "gray8"
+    got = np.frombuffer(out, dtype=np.uint8).reshape(4, 7)
+    exp = (np.array(samples, dtype=np.int64) >> 8).reshape(4, 7)
+    assert (got == exp).all()
+
+
+def test_decode_pixels_operator_mixed_media(spark):
+    """The Spark operator: PNG and JPEG rows recover pixels, GIF
+    degrades to a per-row decode_error (metadata-only seam), the
+    PNGSTUB oracle magic yields deterministic bytes."""
+    import numpy as np
+    from minicrawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_pixels,
+    )
+
+    rng = np.random.default_rng(13)
+    w, h = 8, 6
+    pix = rng.integers(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()
+    png = _encode_png(w, h, pix, filters=[3] * h)
+    gif = b"GIF89a" + b"\x05\x00\x04\x00" + b"\x00" * 20
+    jpeg_fix = None
+    import glob as _g
+    cands = _g.glob(
+        "/root/.pyenv/versions/3.1*/lib/python3.1*/test/imghdrdata/"
+        "python-raw.jpg"
+    )
+    if cands:
+        jpeg_fix = open(cands[0], "rb").read()
+    rows = [
+        ("px://png", "image", "image/png", bytearray(png)),
+        ("px://gif", "image", "image/gif", bytearray(gif)),
+        ("px://stub", "image", "image/png", bytearray(b"PNGSTUB:px")),
+    ]
+    if jpeg_fix:
+        rows.append(("px://jpeg", "image", "image/jpeg",
+                     bytearray(jpeg_fix)))
+    out = {
+        r["media_ref"]: r
+        for r in decode_pixels(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out["px://png"]["pixel_format"] == "rgb8"
+    assert bytes(out["px://png"]["pixels"]) == pix
+    assert out["px://gif"]["pixels"] is None
+    assert "metadata-only" in out["px://gif"]["decode_error"]
+    s = out["px://stub"]
+    assert s["decode_error"] is None
+    assert len(bytes(s["pixels"])) == s["width"] * s["height"] * 3
+    if jpeg_fix:
+        j = out["px://jpeg"]
+        assert j["pixel_format"] == "rgb8"
+        assert (j["width"], j["height"]) == (16, 16)
+        assert len(bytes(j["pixels"])) == 16 * 16 * 3
