@@ -235,12 +235,28 @@ def test_alookup_falls_back_and_health_gates(monkeypatch):
         raise asyncio.TimeoutError("dead nameserver")
 
     monkeypatch.setattr(adns, "resolve_async", timeout_resolver)
+    # the stub resolver only sees DOTTED names that are not pinned in
+    # /etc/hosts (ADVICE r5: hosts-file precedence + dotless names go
+    # to getaddrinfo for search domains — precedence is covered by
+    # test_httpfetch.test_etc_hosts_wins_over_stub_resolver), so use
+    # a dotted test name and stub the loop-level getaddrinfo fallback
+    monkeypatch.setattr(hf, "_etc_hosts_infos", lambda host: None)
+
+    async def fake_gai(self, host, port, **kw):
+        import socket
+
+        return [(socket.AF_INET, socket.SOCK_STREAM, 6, "",
+                 ("127.0.0.1", 0))]
+
+    monkeypatch.setattr(
+        asyncio.base_events.BaseEventLoop, "getaddrinfo", fake_gai
+    )
     hf._DNS_CACHE.clear()
     hf._ADNS_STATE.update(fails=0, disabled=False)
     try:
         for i in range(4):
             hf._DNS_CACHE.clear()
-            infos = asyncio.run(hf._alookup("localhost"))
+            infos = asyncio.run(hf._alookup("stub.test"))
             assert any(i[4][0] in ("127.0.0.1", "::1") for i in infos)
         # 3 transport failures disabled it; the 4th never called
         assert hf._ADNS_STATE["disabled"] is True
@@ -254,7 +270,7 @@ def test_alookup_falls_back_and_health_gates(monkeypatch):
         monkeypatch.setattr(adns, "resolve_async", nx_resolver)
         hf._ADNS_STATE.update(fails=0, disabled=False)
         hf._DNS_CACHE.clear()
-        infos = asyncio.run(hf._alookup("localhost"))
+        infos = asyncio.run(hf._alookup("stub.test"))
         assert any(i[4][0] in ("127.0.0.1", "::1") for i in infos)
         assert hf._ADNS_STATE["disabled"] is False
         assert hf._ADNS_STATE["fails"] == 0

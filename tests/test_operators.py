@@ -1269,3 +1269,107 @@ def test_decode_pixels_operator_mixed_media(spark):
         assert j["pixel_format"] == "rgb8"
         assert (j["width"], j["height"]) == (16, 16)
         assert len(bytes(j["pixels"])) == 16 * 16 * 3
+
+
+# ---------- PCM sample recovery (decode_audio) ----------
+
+def _make_wav(bits, channels, rate, frames_f):
+    """Encode float frames [-1, 1) with the STDLIB wave module (an
+    independent writer) for integer widths; float32 WAVs are built
+    by hand (wave only writes PCM ints)."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    x = np.asarray(frames_f, dtype=np.float64).reshape(-1)
+    if bits == 32 and isinstance(frames_f, tuple):
+        pass
+    if bits == "f32":
+        payload = x.astype("<f4").tobytes()
+        blk = 4 * channels
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 3, channels, rate,
+                                       rate * blk, blk, 32)
+               + b"data" + struct.pack("<I", len(payload)))
+        return hdr + payload
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(bits // 8)
+    w.setframerate(rate)
+    if bits == 8:
+        raw = (np.clip(x, -1, 1 - 1 / 128) * 128 + 128).astype(np.uint8)
+        w.writeframes(raw.tobytes())
+    elif bits == 16:
+        raw = (np.clip(x, -1, 1 - 1 / 32768) * 32768).astype("<i2")
+        w.writeframes(raw.tobytes())
+    elif bits == 32:
+        raw = (np.clip(x, -1, 1 - 2**-31) * (2**31)).astype("<i4")
+        w.writeframes(raw.tobytes())
+    else:
+        raise AssertionError(bits)
+    w.close()
+    return buf.getvalue()
+
+
+def test_wav_samples_roundtrip_all_widths():
+    import numpy as np
+    from minicrawler_spark.operators.multimodal import _wav_samples
+
+    t = np.arange(200) / 200.0
+    sine = 0.7 * np.sin(2 * np.pi * 5 * t)
+    for bits, tol in ((8, 1 / 120.0), (16, 1 / 30000.0),
+                      (32, 1e-6), ("f32", 1e-7)):
+        wav = _make_wav(bits, 1, 8000, sine)
+        rate, ch, nf, samples = _wav_samples(wav)
+        assert (rate, ch, nf) == (8000, 1, 200)
+        got = np.frombuffer(samples, dtype="<f4")
+        assert np.abs(got - sine).max() < tol, bits
+
+
+def test_wav_samples_stereo_interleaved():
+    import numpy as np
+    from minicrawler_spark.operators.multimodal import _wav_samples
+
+    left = np.linspace(-0.5, 0.5, 50)
+    right = -left
+    inter = np.empty(100)
+    inter[0::2] = left
+    inter[1::2] = right
+    wav = _make_wav(16, 2, 44100, inter)
+    rate, ch, nf, samples = _wav_samples(wav)
+    assert (rate, ch, nf) == (44100, 2, 50)
+    got = np.frombuffer(samples, dtype="<f4").reshape(50, 2)
+    assert np.abs(got[:, 0] - left).max() < 1e-4
+    assert np.abs(got[:, 1] - right).max() < 1e-4
+
+
+def test_decode_audio_operator(spark):
+    import numpy as np
+    from minicrawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_audio,
+    )
+
+    wav = _make_wav(16, 1, 16000, np.zeros(32) + 0.25)
+    mp3ish = b"\xff\xfb\x90\x00" + bytes(400)
+    rows = [
+        ("au://wav", "audio", "audio/wav", bytearray(wav)),
+        ("au://mp3", "audio", "audio/mpeg", bytearray(mp3ish)),
+    ]
+    out = {
+        r["media_ref"]: r
+        for r in decode_audio(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    w = out["au://wav"]
+    assert w["decode_error"] is None
+    assert w["sample_format"] == "f32"
+    assert (w["sample_rate"], w["channels"], w["n_frames"]) == (16000, 1, 32)
+    got = np.frombuffer(bytes(w["samples"]), dtype="<f4")
+    assert np.abs(got - 0.25).max() < 1e-3
+    m = out["au://mp3"]
+    assert m["samples"] is None
+    assert "metadata-only" in m["decode_error"]

@@ -113,6 +113,30 @@ def main():
     plans["frontier_schedule"] = p
     rows.append(audit("frontier_schedule", p))
 
+    # the crawl fetch pipeline (crawl_round): since round 5 the
+    # politeness window and the fetch repartition share ONE exchange
+    # (repartition-by-host first; the window's ClusteredDistribution
+    # is then already satisfied), and the hot-host skew fan-out moves
+    # only slot >= hot_host_split overflow rows through a side
+    # exchange that is empty on normal rounds
+    from minicrawler_spark.config import CrawlSettings
+    from minicrawler_spark.streaming.crawl import crawl_round
+
+    fetch_df, _, _ = crawl_round(
+        canon.withColumn("priority", F.lit(0.0))
+        .withColumn("depth", F.lit(0))
+        .withColumn("index", F.col("seq"))
+        .withColumn("redirect_limit", F.lit(21))
+        .withColumn("method", F.lit("GET"))
+        .withColumn("cookies_json", F.lit("[]"))
+        .withColumn("redirect_json", F.lit("[]")),
+        CrawlSettings(), "minicrawler_spark.sources."
+        "fixtures:fixture_fetcher", 0, None, 8, pre_canonicalized=True,
+    )
+    p = plan_of(fetch_df)
+    plans["crawl_fetch_stage"] = p
+    rows.append(audit("crawl_fetch_stage", p))
+
     bad = [r for r in rows if r["cartesian"] or r["row_python"]]
 
     with open("PLANS.md", "w") as f:
@@ -143,11 +167,27 @@ def main():
         f.write(
             "\nInvariants: row-Python == 0 everywhere (all Python is "
             "Arrow-batched); CartesianProduct == 0 everywhere. "
-            "BroadcastNestedLoopJoin appears only in q_ann_topk, where "
-            "it is the intended brute-force plan: the 5 query vectors "
-            "broadcast against a single scan of the vector table (the "
-            "non-equi <> predicate makes it a cross join by design; "
-            "the scale path is q_ann_lsh's bucket equi-join).\n"
+            "BroadcastNestedLoopJoin appears in exactly two INTENDED "
+            "places: q_ann_topk, the brute-force baseline (5 query "
+            "vectors broadcast against a single scan of the vector "
+            "table; the non-equi <> predicate makes it a cross join "
+            "by design — the scale path is q_ann_lsh's bucket "
+            "equi-join), and q_ann_ivf's centroid-assignment step "
+            "(16 broadcast centroids crossed against the vectors to "
+            "pick each vector's nearest list — a bounded, "
+            "broadcast-small cross, not a data×data join).\n"
+        )
+        f.write(
+            "\nCrawl fetch pipeline (crawl_fetch_stage row): one "
+            "user exchange (repartition by host, which also pins the "
+            "fetch task count against AQE coalescing) feeds BOTH the "
+            "politeness window (its ClusteredDistribution(host) is "
+            "satisfied, so it only sorts within partitions) and the "
+            "Arrow fetch stage; the hot-host skew fan-out "
+            "repartitions only the slot >= hot_host_split overflow "
+            "rows — an exchange that is empty on rounds without an "
+            "overflowing host, instead of a second full reshuffle of "
+            "the frontier.\n"
         )
         if bad:
             f.write("\n**VIOLATIONS:** %s\n" % [r["query"] for r in bad])

@@ -30,7 +30,7 @@ import sys
 REPEATS = 2
 
 WORKER = r"""
-import json, sys, time
+import json, os, sys, time
 cpus = int(sys.argv[1]); n = int(sys.argv[2]); reps = int(sys.argv[3])
 from bench import build_spark, bench_frontier, bench_crawl
 spark = build_spark(cpus)
@@ -39,13 +39,22 @@ bench_frontier(spark, 50000)  # warm JVM + python workers
 bench_crawl(spark, 8, 1)      # warm the crawl path
 fr = max((bench_frontier(spark, n) for _ in range(reps)),
          key=lambda r: r["urls_per_sec"])
-# scaling uses a 4x-larger fixture web than the bench headline
-# (512 hosts x 16 pages, ~28k pages): the 6.4k-page bench crawl
-# finishes in seconds and its fixed per-round driver time dominates,
-# which measures Amdahl's constant, not how the fetch/parse work
-# scales — the thing the north rule asks about
-cr = max((bench_crawl(spark, 512, 16) for _ in range(reps)),
+# scaling uses a larger fixture web than the bench headline
+# (default 512 hosts x 16 pages, ~28k pages): the 6.4k-page bench
+# crawl finishes in seconds and its fixed per-round driver time
+# dominates, which measures Amdahl's constant, not how the fetch/parse
+# work scales — the thing the north rule asks about. The per-round
+# driver latency (~2.5s of AQE stage scheduling + Py4J plan building
+# at local[8]) is a LOCAL-MODE constant: on a real cluster a round
+# covers millions of pages, so SPARK_GRAFT_SCALE_WEB can grow the web
+# ("hostsxpages") to measure the design point where per-round work,
+# not driver latency, dominates — the same input is still used at
+# every parallelism level.
+web = os.environ.get("SPARK_GRAFT_SCALE_WEB", "512x16")
+wh, wp = (int(x) for x in web.split("x"))
+cr = max((bench_crawl(spark, wh, wp) for _ in range(reps)),
          key=lambda r: r["pages_per_sec"])
+cr["web"] = web
 print("SCALEOUT " + json.dumps({"cpus": cpus, "frontier": fr, "crawl": cr}))
 """
 
@@ -125,6 +134,7 @@ def main():
 
     result = {
         "frontier_n": n,
+        "crawl_web": levels[2]["crawl"].get("web", "512x16"),
         "levels": {
             str(c): {
                 "frontier_urls_per_sec": round(
