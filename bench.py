@@ -180,6 +180,7 @@ def main():
         "q_crawl_delay_schedule",
         "q_hot_host_salt",
         "q_multimodal_features",
+        "q_pixel_recovery",
         "q_url_canonicalize",
         "q_line_dedup",
         "q_pack_sequences",
