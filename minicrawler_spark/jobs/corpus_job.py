@@ -5,6 +5,8 @@ real LLM-data-pipeline user runs first):
     boilerplate removal) -> exact dedup -> minhash near-dup pairs ->
     dup_clusters survivors -> quality + repetition filters ->
     hash_split -> pack_token_sequences
+    plus the media branch:
+    warc_to_media -> decode_and_featurize / decode_pixels
 
 Every stage is an individually-gated operator (see SURVEY §2 /
 __spark_entry__.queries); this module proves and maintains the
@@ -131,6 +133,16 @@ def build_corpus(
         split.filter(F.col("split") == "train").select("doc_id", "text"),
         budget=pack_budget,
     )
+
+    # 7. media branch: the archive's image/audio/video payloads into
+    #    decoded features + raw samples (PNG/JPEG pixels; WAV PCM and
+    #    the other codecs degrade to per-row decode errors, never
+    #    task failures) — what a multimodal-pretraining mix consumes
+    #    next to the packed text
+    from ..operators.multimodal import decode_and_featurize, decode_pixels
+    from ..sources.warc import warc_to_media
+
+    media = warc_to_media(spark, archive_dir)
     return {
         "documents": docs,
         "line_deduped": line_deduped,
@@ -138,6 +150,9 @@ def build_corpus(
         "filtered": filtered,
         "split": split,
         "packed": packed,
+        "media": media,
+        "media_features": decode_and_featurize(media),
+        "media_pixels": decode_pixels(media),
     }
 
 

@@ -60,6 +60,35 @@ def _h(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
 
 
+def _tiny_png(seed: int) -> bytes:
+    """A VALID deterministic 8x8 RGB PNG (filter 0, pixels from the
+    seed's sha256 stream) so the media loop — crawl -> WARC ->
+    warc_to_media -> decode_pixels — recovers real samples end to
+    end. Pure function of seed; ~120 bytes."""
+    import struct
+    import zlib
+
+    px = bytearray()
+    stream = hashlib.sha256(b"px%d" % seed).digest()
+    while len(px) < 8 * 8 * 3:
+        px += stream
+        stream = hashlib.sha256(stream).digest()
+    raw = bytearray()
+    for y in range(8):
+        raw.append(0)
+        raw += px[y * 24:(y + 1) * 24]
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)
+                              & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 def _resp(status: int, headers: list, body: bytes = b"", reason: str = "OK") -> bytes:
     out = "HTTP/1.1 %d %s\r\n" % (status, reason)
     hs = list(headers)
@@ -303,9 +332,8 @@ def fixture_response(
     m = re.match(r"^/image/(\w+)\.png$", path)
     if m:
         seed = _h(m.group(1))
-        blob = hashlib.sha256(str(seed).encode()).digest() * 32
         return _resp(200, [("Content-Type", "image/png")],
-                     b"\x89PNG\r\n\x1a\n" + blob), delay
+                     _tiny_png(seed)), delay
 
     if path == "/robots.txt":
         seed = _h(host)

@@ -580,6 +580,15 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
                 parsed = parse_head(bytes(r["http_head"] or b""))
                 if parsed is not None:
                     dispatch_headers(st, parsed[0], parsed[1])
+                ctype_main = (
+                    (st.contenttype or "").split(";")[0]
+                    .strip().lower().split("/")[0]
+                )
+                if ctype_main in ("image", "audio", "video"):
+                    # binary media never becomes a text document on
+                    # the live path (no spans for non-html bodies) —
+                    # warc_to_media is the adapter for these records
+                    continue
                 is_html = bool(st.contenttype and "html" in st.contenttype)
                 charset = st.charset
                 if not charset:
@@ -605,3 +614,47 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     return recs.mapInPandas(
         stage, "doc_id string, text string, n_chars long"
     )
+
+
+def warc_to_media(spark: SparkSession, path: str) -> DataFrame:
+    """Archives -> the media-table shape (operators/multimodal.py
+    MEDIA_SCHEMA): each 2xx response whose Content-Type main type is
+    image/audio/video becomes (media_ref=url, kind, content_type,
+    data=payload bytes). The media twin of warc_to_documents — feeds
+    decode_pixels / decode_and_featurize / decode_audio / probe_av
+    so the archive path yields the same decoded samples as a live
+    crawl's media fetches."""
+    recs = read_warc(spark, path)
+
+    def stage(batches: Iterator):
+        import pandas as pd
+
+        from ..functions.httpproto import (
+            ResponseState,
+            dispatch_headers,
+            parse_head,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                if not (200 <= int(r["status"] or 0) < 300):
+                    continue
+                st = ResponseState(method="GET")
+                parsed = parse_head(bytes(r["http_head"] or b""))
+                if parsed is not None:
+                    dispatch_headers(st, parsed[0], parsed[1])
+                ctype = (st.contenttype or "").split(";")[0].strip().lower()
+                kind = ctype.split("/")[0] if "/" in ctype else ""
+                if kind not in ("image", "audio", "video"):
+                    continue
+                rows.append((r["url"], kind, ctype,
+                             bytearray(r["body"] or b"")))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "kind", "content_type", "data"],
+            )
+
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    return recs.mapInPandas(stage, MEDIA_SCHEMA)

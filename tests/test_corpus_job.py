@@ -19,11 +19,20 @@ SEEDS = (
     + ["http://host0.test/page/01", "http://host1.test/page/02"]
 )
 
+# image fetches ride the same crawl; their records must land in the
+# MEDIA branch (warc_to_media -> decode_pixels) and never become
+# mojibake text documents
+MEDIA_SEEDS = [
+    "http://host0.test/image/im3.png",
+    "http://host1.test/image/im7.png",
+]
+
 
 def _build(spark, tmp_path, name):
     out = str(tmp_path / name)
     raw = crawl(
-        spark, SEEDS, CrawlSettings(timeout=600, writehead=True)
+        spark, SEEDS + MEDIA_SEEDS,
+        CrawlSettings(timeout=600, writehead=True),
     ).filter("outcome = 'done'")
     write_warc(raw, out).collect()
     return build_corpus(spark, out, pack_budget=512)
@@ -83,6 +92,26 @@ def test_corpus_build_end_to_end(spark, tmp_path):
     assert [p["seq_id"] for p in packed] == sorted(
         p["seq_id"] for p in packed
     )
+
+    # media branch: the image fetches landed in warc_to_media (and
+    # ONLY there — documents stayed at 14 above), and decode_pixels
+    # recovered the fixture PNGs' actual samples
+    media = {r["media_ref"]: r for r in corpus["media"].collect()}
+    assert set(media) == set(MEDIA_SEEDS)
+    assert all(r["kind"] == "image" for r in media.values())
+    px = {r["media_ref"]: r for r in corpus["media_pixels"].collect()}
+    assert set(px) == set(MEDIA_SEEDS)
+    for ref, r in px.items():
+        assert r["decode_error"] is None, r["decode_error"]
+        assert (r["width"], r["height"], r["pixel_format"]) == (8, 8, "rgb8")
+        from minicrawler_spark.operators.multimodal import _png_pixels
+
+        _w, _h, _f, want = _png_pixels(bytes(media[ref]["data"]))
+        assert bytes(r["pixels"]) == want
+    feats = {r["media_ref"]: r
+             for r in corpus["media_features"].collect()}
+    assert all(f["decode_error"] is None for f in feats.values())
+    assert all(len(f["feature"]) == 64 for f in feats.values())
 
 
 def test_corpus_build_deterministic(spark, tmp_path):
