@@ -824,13 +824,157 @@ def _png_pixels(data: bytes):
     return width, height, fmt, np.ascontiguousarray(samples).tobytes()
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int):
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width
+    starting at min_code_size+1, Clear and EOI codes, dictionary
+    capped at 4096 entries. Returns the index stream as bytes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader: GIF packs codes LSB-first
+    buf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    def reset_dict():
+        d = [bytes([i]) for i in range(clear)] + [b"", b""]
+        return d
+
+    table = reset_dict()
+    width = min_code_size + 1
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream: keep partial
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = reset_dict()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        if len(out) > max_pixels:
+            return bytes(out[:max_pixels])
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+
+
+def _gif_pixels(data: bytes):
+    """GIF -> (width, height, 'rgb8', bytes): FIRST frame composited
+    onto the logical screen (background-color filled), global/local
+    color tables, interlace, LZW decode (pure Python — GIF payloads
+    are small). Transparent pixels keep their palette color (alpha
+    channels are not part of the rgb8 contract); later animation
+    frames are ignored — frame extraction beyond the first is the
+    documented seam."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF zero dimensions")
+    flags = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        ncol = 2 << (flags & 7)
+        gct = np.frombuffer(
+            data[pos:pos + 3 * ncol], dtype=np.uint8
+        ).reshape(-1, 3)
+        if gct.shape[0] != ncol:
+            raise ValueError("GIF truncated global color table")
+        pos += 3 * ncol
+    screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if gct is not None and bg_index < gct.shape[0]:
+        screen[:] = gct[bg_index]
+
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError("GIF bad block 0x%02X" % b)
+        ix, iy, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+        iflags = data[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            ncol = 2 << (iflags & 7)
+            pal = np.frombuffer(
+                data[pos:pos + 3 * ncol], dtype=np.uint8
+            ).reshape(-1, 3)
+            if pal.shape[0] != ncol:
+                raise ValueError("GIF truncated local color table")
+            pos += 3 * ncol
+        if pal is None:
+            raise ValueError("GIF image without any color table")
+        if iw == 0 or ih == 0 or ix + iw > sw or iy + ih > sh:
+            raise ValueError("GIF frame outside logical screen")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(min_code, bytes(lzw), iw * ih)
+        if len(idx) < iw * ih:
+            idx = idx + bytes(iw * ih - len(idx))  # truncated: pad 0
+        grid = np.frombuffer(idx, dtype=np.uint8).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            rows = np.concatenate([
+                np.arange(0, ih, 8), np.arange(4, ih, 8),
+                np.arange(2, ih, 4), np.arange(1, ih, 2),
+            ])
+            un = np.empty_like(grid)
+            un[rows] = grid
+            grid = un
+        safe = np.minimum(grid.astype(np.int64), pal.shape[0] - 1)
+        screen[iy:iy + ih, ix:ix + iw] = pal[safe]
+        return sw, sh, "rgb8", screen.tobytes()  # first frame only
+    raise ValueError("GIF has no image data")
+
+
 def _pixels_of(data: bytes):
     """Magic dispatch for full sample recovery: PNG (all color
-    types/depths) and JPEG (baseline + progressive, via
-    operators/jpeg.py). GIF/WebP/AVIF pixel recovery stays the
-    documented seam (their entropy layers are LZW/VP8/AV1);
-    dimensions and content digests for those come from
-    decode_and_featurize."""
+    types/depths), JPEG (baseline + progressive, via
+    operators/jpeg.py) and GIF (LZW, first frame). WebP/AVIF pixel
+    recovery stays the documented seam (their entropy layers are
+    VP8/AV1 video codecs); dimensions and content digests for those
+    come from decode_and_featurize."""
     if data.startswith(_PNG_SIG):
         return _png_pixels(data)
     if data[0:2] == b"\xff\xd8":
@@ -838,14 +982,16 @@ def _pixels_of(data: bytes):
 
         px = decode_jpeg_pixels(data)
         return px.shape[1], px.shape[0], "rgb8", px.tobytes()
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(data)
     if data.startswith(b"PNGSTUB:"):
         w, h, _feat = _decode_image_stub(data)
         seed = hashlib.sha256(b"px" + data).digest()
         reps = (w * h * 3 + len(seed) - 1) // len(seed)
         return w, h, "rgb8", (seed * reps)[: w * h * 3]
     raise NotImplementedError(
-        "no pixel decoder for this magic (PNG/JPEG supported; "
-        "GIF/WebP/AVIF remain metadata-only)"
+        "no pixel decoder for this magic (PNG/JPEG/GIF supported; "
+        "WebP/AVIF remain metadata-only)"
     )
 
 
