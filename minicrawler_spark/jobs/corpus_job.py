@@ -73,16 +73,22 @@ def build_corpus(
     (hashes of text/doc_id), so re-running on the same archives gives
     byte-identical outputs regardless of partitioning.
     """
-    from ..operators.dedup import (
+    # absolute imports: build_corpus must also work when this file is
+    # the spark-submit entry script (then it runs as __main__ with no
+    # parent package and relative imports raise ImportError)
+    from minicrawler_spark.operators.dedup import (
         dup_clusters,
         exact_dedup,
         line_dedup,
         minhash_dup_pairs,
     )
-    from ..operators.packing import pack_token_sequences
-    from ..operators.sampling import hash_split
-    from ..operators.textstats import quality_score, repetition_stats
-    from ..sources.warc import warc_to_documents
+    from minicrawler_spark.operators.packing import pack_token_sequences
+    from minicrawler_spark.operators.sampling import hash_split
+    from minicrawler_spark.operators.textstats import (
+        quality_score,
+        repetition_stats,
+    )
+    from minicrawler_spark.sources.warc import warc_to_documents
 
     if splits is None:
         splits = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -139,8 +145,11 @@ def build_corpus(
     #    the other codecs degrade to per-row decode errors, never
     #    task failures) — what a multimodal-pretraining mix consumes
     #    next to the packed text
-    from ..operators.multimodal import decode_and_featurize, decode_pixels
-    from ..sources.warc import warc_to_media
+    from minicrawler_spark.operators.multimodal import (
+        decode_and_featurize,
+        decode_pixels,
+    )
+    from minicrawler_spark.sources.warc import warc_to_media
 
     media = warc_to_media(spark, archive_dir)
     return {
@@ -190,16 +199,34 @@ def main(argv=None) -> int:
                 "test": args.test},
         pack_budget=args.pack_budget,
     )
-    summary = {}
-    for name in ("filtered", "split", "packed"):
-        path = "%s/%s" % (args.output.rstrip("/"), name)
-        out[name].write.mode("overwrite").parquet(path)
-        summary[name] = spark.read.parquet(path).count()
+    # Materialize the expensive chain ONCE: `split` is `filtered`
+    # plus the split column, so write it first and derive the other
+    # two outputs from the re-read parquet — three independent write
+    # actions would each recompute the minhash/cluster stages from
+    # the archive (3x the dominant cost at corpus scale).
+    root = args.output.rstrip("/")
+    out["split"].write.mode("overwrite").parquet("%s/split" % root)
+    split_pq = spark.read.parquet("%s/split" % root)
+    split_pq.drop("split").write.mode("overwrite").parquet(
+        "%s/filtered" % root
+    )
+    from minicrawler_spark.operators.packing import pack_token_sequences
+
+    pack_token_sequences(
+        split_pq.filter(F.col("split") == "train").select(
+            "doc_id", "text"
+        ),
+        budget=args.pack_budget,
+    ).write.mode("overwrite").parquet("%s/packed" % root)
+    summary = {
+        name: spark.read.parquet("%s/%s" % (root, name)).count()
+        for name in ("filtered", "split", "packed")
+    }
     split_counts = {
         r["split"]: r["n"]
-        for r in spark.read.parquet(
-            "%s/split" % args.output.rstrip("/")
-        ).groupBy("split").agg(F.count("*").alias("n")).collect()
+        for r in split_pq.groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     print(json.dumps({"rows": summary, "splits": split_counts}))
     return 0

@@ -687,7 +687,8 @@ def probe_av(media: DataFrame, n_buckets: int = 0) -> DataFrame:
                         raise NotImplementedError(
                             "no AV prober for this magic (mp4/wav/mp3)"
                         )
-                except (NotImplementedError, ValueError, IndexError) as e:
+                except (NotImplementedError, ValueError, IndexError,
+                        MemoryError) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
             yield pd.DataFrame(
@@ -763,7 +764,7 @@ def decode_and_featurize(media: DataFrame, batch_hint: int = 256,
                 try:
                     w, h, feat = _decode_image(data)
                     rec.update({"width": w, "height": h, "feature": feat})
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, MemoryError) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
@@ -968,13 +969,59 @@ def _gif_pixels(data: bytes):
     raise ValueError("GIF has no image data")
 
 
-def _pixels_of(data: bytes):
+MAX_PIXELS = 1 << 26  # ~67M px (8192x8192 rgb8 = ~200 MB Arrow cell)
+
+
+def _header_dims(data: bytes):
+    """Declared dimensions from the HEADER BYTES ONLY — no structural
+    validation, no payload decode, no allocation (the existing dims
+    decoders validate whole-file structure, and _decode_png even
+    recovers pixels — unusable as a pre-allocation guard). Returns
+    (w, h) or None when the magic has no cheap dims field."""
+    import struct
+
+    if data.startswith(_PNG_SIG) and len(data) >= 24:
+        return struct.unpack(">II", data[16:24])
+    if data[0:2] == b"\xff\xd8":
+        pos = 2  # marker walk to the first SOF
+        while pos + 9 <= len(data):
+            if data[pos] != 0xFF:
+                break
+            m = data[pos + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                return w, h
+            pos += 2 + struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        return None
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        # logical screen bounds every frame (ix+iw<=sw is enforced)
+        return struct.unpack("<HH", data[6:10])
+    return None
+
+
+def _pixels_of(data: bytes, max_pixels: int = MAX_PIXELS):
     """Magic dispatch for full sample recovery: PNG (all color
     types/depths), JPEG (baseline + progressive, via
     operators/jpeg.py) and GIF (LZW, first frame). WebP/AVIF pixel
     recovery stays the documented seam (their entropy layers are
     VP8/AV1 video codecs); dimensions and content digests for those
-    come from decode_and_featurize."""
+    come from decode_and_featurize.
+
+    Decompression-bomb guard: a 150-byte file can DECLARE 60000x60000
+    (10+ GB of samples) in its header — on a real web corpus such
+    inputs are guaranteed, and the full decoders allocate from the
+    declared dimensions. The cheap header-only dims parse runs first
+    and anything above `max_pixels` becomes a per-row ValueError
+    (landing in decode_error), never an executor-killing allocation."""
+    dims = _header_dims(data)
+    if dims is not None and dims[0] * dims[1] > max_pixels:
+        raise ValueError(
+            "image %dx%d exceeds max_pixels=%d "
+            "(decompression-bomb guard)" % (dims[0], dims[1], max_pixels)
+        )
     if data.startswith(_PNG_SIG):
         return _png_pixels(data)
     if data[0:2] == b"\xff\xd8":
@@ -1022,7 +1069,7 @@ def decode_pixels(media: DataFrame, n_buckets: int = 0) -> DataFrame:
                     w, h, fmt, px = _pixels_of(data)
                     rec.update({"width": w, "height": h,
                                 "pixel_format": fmt, "pixels": px})
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, MemoryError) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
             yield pd.DataFrame(
@@ -1150,7 +1197,7 @@ def decode_audio(media: DataFrame, n_buckets: int = 0) -> DataFrame:
                     rec.update({"sample_rate": rate, "channels": ch,
                                 "n_frames": nf, "sample_format": "f32",
                                 "samples": samples})
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, MemoryError) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
             yield pd.DataFrame(

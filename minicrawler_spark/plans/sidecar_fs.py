@@ -50,6 +50,9 @@ class LocalFS:
             f.write(data)
         os.replace(tmp, path)
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
     def remove(self, path: str) -> None:
         os.remove(path)
 
@@ -115,6 +118,9 @@ class FsspecFS:
         # single-object PUT is atomic on object stores; for fs-like
         # protocols fsspec's pipe_file is a create-then-publish
         self._filesystem().pipe_file(path, data)
+
+    def size(self, path: str) -> int:
+        return self._filesystem().size(path)
 
     def remove(self, path: str) -> None:
         self._filesystem().rm_file(path)

@@ -253,21 +253,44 @@ def sitemap_frontier(discovered: DataFrame, settings=None) -> DataFrame:
     # UNIQUE frontier index (ADVICE r5): the previous 31-bit
     # xxhash64(loc) collides with ~50% probability at ~77k URLs
     # (large sitemaps exceed that routinely), conflating
-    # output-to-input attribution. zipWithIndex over a
-    # range-partitioned loc sort assigns dense unique ids,
-    # deterministically (global loc order), without the
-    # single-partition shuffle a global row_number window would
-    # cost — still distributed at any sitemap collection size.
+    # output-to-input attribution. Dense unique ids in global loc
+    # order via the two-phase distributed prefix sum (the
+    # packing.py discipline): range-partition by loc, collect ONE
+    # row per partition (bounded by cluster size, not data), then
+    # a partition-local row_number plus the broadcast offset — all
+    # JVM-side, no per-row Python (an rdd.zipWithIndex here would
+    # pickle every row through Python twice), and never the
+    # single-partition shuffle of a global row_number window.
     # monotonically_increasing_id stays out for the r3 reason
     # (partition id in the upper bits overflows int).
-    ordered = pages.repartitionByRange(
-        F.col("loc")
-    ).sortWithinPartitions("loc")
-    indexed = ordered.rdd.zipWithIndex().map(
-        lambda t: (int(t[1]), t[0]["loc"], t[0]["priority"])
+    from pyspark.sql import Window
+
+    spark = discovered.sparkSession
+    d = (
+        pages.repartitionByRange(F.col("loc"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pids; counts + numbering read one scan
     )
-    pages = discovered.sparkSession.createDataFrame(
-        indexed, "index int, loc string, priority double"
+    pcounts = sorted(
+        (r["pid"], r["n"])
+        for r in d.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets = []
+    running = 0
+    for pid, cnt in pcounts:
+        offsets.append((pid, running))
+        running += cnt
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "pid int, p_offset long")
+    )
+    w = Window.partitionBy("pid").orderBy("loc")
+    pages = (
+        d.join(off_df, "pid")
+        .withColumn(
+            "index",
+            (F.col("p_offset") + F.row_number().over(w) - 1).cast("int"),
+        )
+        .select("index", "loc", "priority")
     )
     return pages.select(
         F.col("index"),

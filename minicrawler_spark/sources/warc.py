@@ -66,6 +66,18 @@ def _cdx_escape(url: str) -> str:
     )
 
 
+def _cdx_unescape(url: str) -> str:
+    """Reverse _cdx_escape (%25 -> % LAST, the usual percent-decode
+    ordering discipline). Also the WARC-Target-URI decode: the same
+    escaping guards the WARC record header, where a raw CR/LF in the
+    URL would terminate the header block before Content-Length and
+    corrupt the framing of every later record in the archive."""
+    for pat, rep in (("%20", " "), ("%0A", "\n"), ("%0D", "\r"),
+                     ("%09", "\t"), ("%25", "%")):
+        url = url.replace(pat, rep)
+    return url
+
+
 def _record_id(url: str, payload: bytes, salt: bytes = b"") -> str:
     """Content-derived record id (urn:sha256) — re-runs of the same
     crawl produce byte-identical archives."""
@@ -101,7 +113,13 @@ def warc_record_bytes(
     rid = record_id or _record_id(url, http_bytes)
     ct = content_type or "application/http;msgtype=response"
     extras = "".join("%s: %s\r\n" % (k, v) for k, v in extra_headers)
-    target = "WARC-Target-URI: %s\r\n" % url if url else ""
+    # escape delimiter/framing bytes: WARC-Target-URI must be a URI
+    # (ISO 28500 §5.12 — no raw spaces/controls), and an unescaped
+    # CR/LF here would end the record header early and desync the
+    # parse of every subsequent record; _parse_warc reverses this
+    target = (
+        "WARC-Target-URI: %s\r\n" % _cdx_escape(url) if url else ""
+    )
     head = (
         "WARC/1.1\r\n"
         "WARC-Type: %s\r\n"
@@ -329,7 +347,7 @@ def _parse_warc(data: bytes):
         pos = head_end + 4 + clen + 4  # skip the record's CRLFCRLF
         if headers.get("warc-type") != "response":
             continue
-        url = headers.get("warc-target-uri", "")
+        url = _cdx_unescape(headers.get("warc-target-uri", ""))
         date = headers.get("warc-date", "")
         http_end = payload.find(b"\r\n\r\n")
         http_head = payload[:http_end] if http_end >= 0 else payload
@@ -390,11 +408,25 @@ def read_warc(spark: SparkSession, path: str,
     and object-store reads are sequential Range GETs. Records leave
     in `batch_records`-sized Arrow batches."""
     the_fs = fs if fs is not None else fs_for(path)
-    if path.endswith(".warc.gz"):
+    base, _, last = path.rpartition("/")
+    if "*" in last:
+        # glob form dir/*.warc.gz (the pre-streaming reader's syntax)
+        import fnmatch
+
+        files = ["%s/%s" % (base, nm) for nm in the_fs.listdir(base)
+                 if fnmatch.fnmatch(nm, last)]
+    elif path.endswith(".warc.gz"):
         files = [path]
     else:
         files = ["%s/%s" % (path, nm) for nm in the_fs.listdir(path)
                  if nm.endswith(".warc.gz")]
+    if not files:
+        # fail loud: listdir returns [] for an absent directory, and
+        # an empty DataFrame here would silently turn a typo'd
+        # --archive path into an empty corpus downstream
+        raise FileNotFoundError(
+            "read_warc: no .warc.gz archives at %r" % path
+        )
     files_df = spark.createDataFrame(
         [(p,) for p in files], "path string"
     )
@@ -410,15 +442,21 @@ def read_warc(spark: SparkSession, path: str,
         import pandas as pd
 
         def chunks_of(fpath):
+            # size-bounded: never issue a read at/past EOF — POSIX
+            # returns b'' there but object stores answer a Range GET
+            # with 416 (an exception through fsspec), which a
+            # "read until empty" loop would hit whenever the file
+            # size is an exact multiple of chunk_bytes
+            total = the_fs.size(fpath)
             pos = 0
-            while True:
-                b = the_fs.read_range(fpath, pos, chunk_bytes)
+            while pos < total:
+                b = the_fs.read_range(
+                    fpath, pos, min(chunk_bytes, total - pos)
+                )
                 if not b:
-                    return
+                    return  # defensive: shrunk underneath us
                 yield b
                 pos += len(b)
-                if len(b) < chunk_bytes:
-                    return  # short read = EOF
 
         rows = []
         for pdf in batches:

@@ -136,3 +136,47 @@ def test_corpus_build_deterministic(spark, tmp_path):
         for r in b["packed"].collect()
     )
     assert pa == pb and pa
+
+
+def test_corpus_job_script_mode_and_single_materialization(
+    spark, tmp_path
+):
+    """The spark-submit entry form (`python .../corpus_job.py`) runs
+    the file as __main__ with NO parent package — build_corpus and
+    main() must not rely on relative imports. Loaded exactly as the
+    interpreter would (runpy over the file path), then main() is
+    driven end-to-end against a real archive and its parquet outputs
+    checked for consistency."""
+    import io
+    import json
+    import runpy
+    from contextlib import redirect_stdout
+
+    import minicrawler_spark.jobs.corpus_job as cj
+
+    mod = runpy.run_path(cj.__file__)  # run_name != package: script
+    out = str(tmp_path / "warc")
+    raw = crawl(
+        spark, SEEDS[:6],
+        CrawlSettings(timeout=600, writehead=True),
+    ).filter("outcome = 'done'")
+    write_warc(raw, out).collect()
+
+    corpus = str(tmp_path / "corpus")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = mod["main"](
+            ["--archive", out, "--output", corpus,
+             "--pack-budget", "512"]
+        )
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # split is filtered + the split column; packed sequences cover
+    # the train split's tokens at the budget
+    assert summary["rows"]["split"] == summary["rows"]["filtered"] > 0
+    assert sum(summary["splits"].values()) == summary["rows"]["split"]
+    filtered = spark.read.parquet(corpus + "/filtered")
+    split = spark.read.parquet(corpus + "/split")
+    assert set(split.columns) - set(filtered.columns) == {"split"}
+    packed = spark.read.parquet(corpus + "/packed")
+    assert packed.count() == summary["rows"]["packed"] > 0

@@ -1517,3 +1517,38 @@ def test_gif_pixels_vs_imageio_real_files(spark):
         assert frac >= 0.9, (p, frac)
         checked += 1
     assert checked >= 1
+
+
+def test_pixel_decoder_decompression_bomb_guard():
+    """A ~150-byte file DECLARING enormous dimensions (guaranteed
+    input on a real web corpus) must become a per-row ValueError,
+    never a multi-GB allocation: the full decoders allocate from the
+    declared header dims, so _pixels_of dimension-guards before
+    dispatch."""
+    import struct
+
+    import pytest
+
+    from minicrawler_spark.operators.multimodal import (
+        MAX_PIXELS,
+        _pixels_of,
+    )
+
+    # JPEG: SOF0 declaring 60000x60000 (10.8 GB of rgb8)
+    sof = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 17)
+           + b"\x08" + struct.pack(">HH", 60000, 60000)
+           + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+           + b"\xff\xda" + struct.pack(">H", 12)
+           + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+           + b"\xff\xd9")
+    # GIF: logical screen 60000x60000
+    gif = (b"GIF89a" + struct.pack("<HH", 60000, 60000)
+           + b"\x00\x00\x00")
+    # PNG: IHDR 100000x100000 (inside the parser's 1<<24 cap)
+    ihdr = struct.pack(">IIBB", 100000, 100000, 8, 2) + b"\x00\x00\x00"
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + ihdr + b"\x00\x00\x00\x00")
+    for bomb in (sof, gif, png):
+        with pytest.raises(ValueError, match="max_pixels"):
+            _pixels_of(bomb)
+    assert 60000 * 60000 > MAX_PIXELS  # the guard, not a parse error

@@ -459,11 +459,24 @@ def test_read_warc_chunked_memory_bounded(spark, tmp_path):
             raise AssertionError("whole-blob read: %s" % path)
 
         def read_range(self, path, offset, length):
+            # emulate an object store: a Range GET starting at/past
+            # EOF answers 416, not b'' — POSIX masks this, so the
+            # shim enforces it (a "read until empty" loop would die
+            # here whenever size % chunk_bytes == 0)
+            total = os.path.getsize(path)
+            if offset >= total:
+                raise AssertionError(
+                    "416 InvalidRange: offset %d >= size %d"
+                    % (offset, total)
+                )
             with open(self.log_path, "a") as f:
                 f.write(_json.dumps([offset, length]) + "\n")
             with open(path, "rb") as f:
                 f.seek(offset)
                 return f.read(length)
+
+        def size(self, path):
+            return os.path.getsize(path)
 
         def listdir(self, path):
             return sorted(os.listdir(path)) if os.path.isdir(path) else []
@@ -483,8 +496,20 @@ def test_read_warc_chunked_memory_bounded(spark, tmp_path):
                               chunk_bytes=1024).collect()}
     assert got == want and len(got) == 6
     reqs = [_json.loads(ln) for ln in open(log).read().splitlines()]
-    assert reqs and all(ln == 1024 for _off, ln in reqs)
+    assert reqs and all(ln <= 1024 for _off, ln in reqs)
     assert len(reqs) > len(got)  # genuinely chunked, multiple reads
+
+    # exact-multiple EOF: chunk_bytes == the file's size means the
+    # only read returns a full chunk — the loop must then STOP, not
+    # issue a read at EOF (the strict shim above raises there)
+    first = sorted(
+        p for p in os.listdir(out) if p.endswith(".warc.gz")
+    )[0]
+    fsize = os.path.getsize(os.path.join(out, first))
+    exact = {(r["url"], bytes(r["body"] or b""))
+             for r in read_warc(spark, out, fs=_RangeLogFS(log),
+                                chunk_bytes=fsize).collect()}
+    assert exact == want
 
 
 def test_warc_write_through_fs_shim(spark, tmp_path):
@@ -499,3 +524,57 @@ def test_warc_write_through_fs_shim(spark, tmp_path):
     assert manifest and os.path.exists(manifest[0]["path"])
     got = read_warc(spark, out).collect()
     assert len(got) == 1 and got[0]["status"] == 200
+
+
+def test_warc_url_with_crlf_cannot_break_record_framing():
+    """A URL carrying raw CR/LF (reachable via the rawurl fallback
+    for unparsed seeds) must not terminate the WARC record header
+    early — unescaped, it ends the header block before
+    Content-Length and every later record in the archive is lost.
+    The writer percent-escapes the delimiter bytes into
+    WARC-Target-URI and the parser reverses it."""
+    evil_url = "http://x.test/\r\n\r\nGARBAGE: injected"
+    evil = warc_record_bytes(
+        evil_url, "2025-06-15T00:00:00Z",
+        b"HTTP/1.1 200\r\nContent-Length: 2\r\n\r\nhi",
+    )
+    good = warc_record_bytes(
+        "http://ok.test/a b", "2025-06-15T00:00:00Z",
+        b"HTTP/1.1 200\r\nContent-Length: 2\r\n\r\nok",
+    )
+    recs = list(_parse_warc(evil + good))
+    assert len(recs) == 2
+    # URLs round-trip exactly, including the control bytes + space
+    assert recs[0][0] == evil_url
+    assert recs[1][0] == "http://ok.test/a b"
+    assert recs[0][4] == b"hi" and recs[1][4] == b"ok"
+    # and the raw record bytes contain no naked CR/LF inside the
+    # header line (the escape really happened on the wire)
+    head = evil[: evil.find(b"\r\n\r\n")]
+    for line in head.split(b"\r\n"):
+        assert b"GARBAGE" not in line or line.startswith(
+            b"WARC-Target-URI:"
+        )
+
+
+def test_read_warc_missing_path_raises_and_glob_works(
+    spark, tmp_path
+):
+    """A typo'd archive path must fail loud (an empty DataFrame here
+    silently writes an empty corpus downstream), and the
+    dir/*.warc.gz glob form keeps working."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_warc(spark, str(tmp_path / "no-such-dir"))
+
+    out = str(tmp_path / "warc")
+    res = crawl(
+        spark, ["http://host0.test/page/0"],
+        CrawlSettings(timeout=600),
+    ).filter("outcome = 'done'")
+    write_warc(res, out).collect()
+    got = read_warc(spark, out + "/*.warc.gz").collect()
+    assert len(got) == 1 and got[0]["status"] == 200
+    with pytest.raises(FileNotFoundError):
+        read_warc(spark, out + "/*.nomatch.gz")
