@@ -496,6 +496,37 @@ def q_pixel_recovery(spark, sf):
     )
 
 
+def q_resize_pixels(spark, sf):
+    """Resize stage (operators/multimodal.py resize_pixels) composed
+    over decode_pixels: nearest-neighbor to an 8x8 grid over the
+    PNGSTUB media, which the DuckDB oracle replays byte-for-byte in
+    hex space (the half-pixel-center index map is pure integer
+    math). The bilinear path is gated differentially against a
+    scalar reference in tests/test_operators.py."""
+    from minicrawler_spark.operators.multimodal import (
+        decode_pixels,
+        resize_pixels,
+    )
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("content_type"),
+        F.concat(
+            F.lit(b"PNGSTUB:"), F.encode("text", "utf-8")
+        ).alias("data"),
+    )
+    out = resize_pixels(decode_pixels(media), 8, 8, method="nearest")
+    return out.select(
+        "media_ref", "width", "height", "pixel_format",
+        F.sha2(F.lower(F.hex("pixels")), 256).alias("pixel_sha"),
+        F.length("pixels").cast("long").alias("pixel_bytes"),
+    )
+
+
 def q_url_canonicalize(spark, sf):
     """WHATWG canonicalization over synthesized messy URLs. The
     oracle is the closed form of the construction (uppercase scheme/
@@ -577,6 +608,7 @@ QUERIES = {
     "q_hot_host_salt": q_hot_host_salt,
     "q_multimodal_features": q_multimodal_features,
     "q_pixel_recovery": q_pixel_recovery,
+    "q_resize_pixels": q_resize_pixels,
     "q_url_canonicalize": q_url_canonicalize,
 }
 
@@ -1028,6 +1060,43 @@ ORACLES = {
              sha256(pixels_hex) as pixel_sha,
              (length(pixels_hex) // 2)::BIGINT as pixel_bytes
       from px
+    """,
+    "q_resize_pixels": """
+      with m as (
+        select 'img://doc/' || doc_id::VARCHAR as media_ref,
+               'PNGSTUB:' || text as data,
+               1 + ('0x' || substr(sha256('PNGSTUB:' || text), 1, 2))::INT
+                 % 64 as width,
+               1 + ('0x' || substr(sha256('PNGSTUB:' || text), 3, 2))::INT
+                 % 64 as height
+        from documents
+      ), px as (
+        select media_ref, width, height,
+               substr(repeat(sha256('px' || data),
+                             (width * height * 3 + 31) // 32),
+                      1, width * height * 3 * 2) as pixels_hex
+        from m
+      ), rz as (
+        -- nearest-neighbor gather to 8x8: out byte i (0..191) maps
+        -- oy = i//24, ox = (i//3)%8, c = i%3; the half-pixel-center
+        -- source index is least(((2*o+1)*in)//16, in-1) per axis
+        select media_ref,
+               array_to_string(
+                 [substr(pixels_hex,
+                         2 * ((least(((2 * (i // 24) + 1) * height)
+                                       // 16, height - 1) * width
+                               + least(((2 * ((i // 3) % 8) + 1) * width)
+                                         // 16, width - 1)) * 3
+                              + (i % 3)) + 1,
+                         2)
+                  for i in range(0, 192)], '') as out_hex
+        from px
+      )
+      select media_ref, 8 as width, 8 as height,
+             'rgb8' as pixel_format,
+             sha256(out_hex) as pixel_sha,
+             192::BIGINT as pixel_bytes
+      from rz
     """,
     "q_url_canonicalize": """
       select doc_id,

@@ -181,6 +181,7 @@ def main():
         "q_hot_host_salt",
         "q_multimodal_features",
         "q_pixel_recovery",
+        "q_resize_pixels",
         "q_url_canonicalize",
         "q_line_dedup",
         "q_pack_sequences",

@@ -146,8 +146,11 @@ def build_corpus(
     #    task failures) — what a multimodal-pretraining mix consumes
     #    next to the packed text
     from minicrawler_spark.operators.multimodal import (
+        audio_features,
         decode_and_featurize,
+        decode_audio,
         decode_pixels,
+        sample_frames,
     )
     from minicrawler_spark.sources.warc import warc_to_media
 
@@ -161,7 +164,17 @@ def build_corpus(
         "packed": packed,
         "media": media,
         "media_features": decode_and_featurize(media),
-        "media_pixels": decode_pixels(media),
+        "media_pixels": decode_pixels(
+            media.filter(F.col("kind") == "image")
+        ),
+        # AV branches: video key frames as raw encoded access units
+        # + pts (sample_frames), audio as PCM front-end features
+        "media_frames": sample_frames(
+            media.filter(F.col("kind") == "video")
+        ),
+        "media_audio_features": audio_features(
+            decode_audio(media.filter(F.col("kind") == "audio"))
+        ),
     }
 
 

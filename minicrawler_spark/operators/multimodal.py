@@ -34,8 +34,10 @@ from pyspark.sql.types import (
 
 __all__ = [
     "MEDIA_SCHEMA", "FEATURE_SCHEMA", "AV_SCHEMA", "PIXELS_SCHEMA",
-    "AUDIO_SCHEMA", "decode_and_featurize", "decode_pixels",
-    "decode_audio", "probe_av", "media_from_crawl",
+    "AUDIO_SCHEMA", "FRAMES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
+    "decode_and_featurize", "decode_pixels", "decode_audio",
+    "probe_av", "sample_frames", "resize_pixels", "audio_features",
+    "media_from_crawl",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -541,6 +543,156 @@ def _probe_mp4(data: bytes):
     return duration_ms, width, height, has_video, has_audio
 
 
+def _full(data: bytes, box):
+    """(payload_start_after_version_flags, payload_end) of a fullbox."""
+    return box[0] + 4, box[1]
+
+
+def _mp4_samples(data: bytes, max_samples: int = 1 << 20):
+    """Per-sample table of the FIRST video track (ISO/IEC 14496-12
+    stbl walk): stsd gives the codec fourcc, stts the decode
+    timestamps, ctts the composition offsets, stss the sync (key)
+    frames, and stsc+stsz+stco/co64 resolve each sample to its
+    (file_offset, size). Returns (codec, timescale, samples) where
+    samples = list of (sample_number 1-based, offset, size, pts,
+    is_sync). Pure container math — no codec decode — which is all
+    frame SAMPLING needs: the raw encoded access units plus their
+    presentation times.
+
+    Every declared count is validated against its box's remaining
+    bytes before any list is built (same discipline as the image
+    decompression-bomb guard: a 100-byte file must not allocate from
+    a forged billion-entry table), and `max_samples` bounds the
+    expansion regardless."""
+    import struct
+
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not ISO-BMFF: no ftyp")
+    moov = _find_box(data, (b"moov",), 0, len(data))
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    for typ, ts_, te_ in _walk_boxes(data, moov[0], moov[1]):
+        if typ != b"trak":
+            continue
+        hdlr = _find_box(data, (b"mdia", b"hdlr"), ts_, te_)
+        if not hdlr or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find_box(data, (b"mdia", b"mdhd"), ts_, te_)
+        if mdhd is None:
+            raise ValueError("MP4 video trak missing mdhd")
+        ver = data[mdhd[0]]
+        timescale = struct.unpack(
+            ">I", data[mdhd[0] + (20 if ver == 1 else 12):][:4]
+        )[0]
+        if timescale == 0:
+            raise ValueError("MP4 zero media timescale")
+        stbl = _find_box(data, (b"mdia", b"minf", b"stbl"), ts_, te_)
+        if stbl is None:
+            raise ValueError("MP4 video trak missing stbl")
+        boxes = {t: (ps, pe)
+                 for t, ps, pe in _walk_boxes(data, stbl[0], stbl[1])}
+        for need in (b"stsd", b"stts", b"stsc", b"stsz"):
+            if need not in boxes:
+                raise ValueError("MP4 stbl missing %s" % need.decode())
+        if b"stco" not in boxes and b"co64" not in boxes:
+            raise ValueError("MP4 stbl missing stco/co64")
+
+        def entries(name, fmt, width):
+            """Fullbox table (entry_count then entries): validate the
+            declared count against the box's actual remaining bytes,
+            then unpack."""
+            ps, pe = _full(data, boxes[name])
+            n = struct.unpack(">I", data[ps:ps + 4])[0]
+            if n > (pe - ps - 4) // width or n > max_samples:
+                raise ValueError(
+                    "MP4 %s declares %d entries, box holds %d bytes"
+                    % (name.decode(), n, pe - ps)
+                )
+            off = ps + 4
+            return [struct.unpack(fmt, data[off + i * width:
+                                            off + (i + 1) * width])
+                    for i in range(n)]
+
+        # stsd: first entry's fourcc is the codec
+        ps, pe = _full(data, boxes[b"stsd"])
+        if pe - ps < 12:
+            raise ValueError("MP4 stsd too short")
+        codec = data[ps + 8:ps + 12].decode("latin-1")
+
+        # stsz: uniform size or per-sample table
+        ps, pe = _full(data, boxes[b"stsz"])
+        uniform, n_samples = struct.unpack(">II", data[ps:ps + 8])
+        if n_samples > max_samples:
+            raise ValueError("MP4 stsz declares %d samples" % n_samples)
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            if n_samples > (pe - ps - 8) // 4:
+                raise ValueError("MP4 stsz table short")
+            sizes = list(struct.unpack(
+                ">%dI" % n_samples, data[ps + 8:ps + 8 + 4 * n_samples]
+            ))
+
+        # stts -> per-sample dts
+        dts, t = [], 0
+        for cnt, delta in entries(b"stts", ">II", 8):
+            if cnt > max_samples - len(dts):
+                raise ValueError("MP4 stts expands past max_samples")
+            for _ in range(cnt):
+                dts.append(t)
+                t += delta
+        # ctts -> composition (presentation) offsets
+        pts = list(dts)
+        if b"ctts" in boxes:
+            cver = data[boxes[b"ctts"][0]]
+            fmt = ">Ii" if cver == 1 else ">II"
+            i = 0
+            for cnt, off in entries(b"ctts", fmt, 8):
+                for _ in range(cnt):
+                    if i < len(pts):
+                        pts[i] = dts[i] + off
+                        i += 1
+        # stss: sync table (absent = every sample is sync)
+        sync = None
+        if b"stss" in boxes:
+            sync = {s for (s,) in entries(b"stss", ">I", 4)}
+
+        # stsc runs + chunk offsets -> per-sample file offset
+        stsc = entries(b"stsc", ">III", 12)
+        if b"co64" in boxes:
+            chunk_offs = [o for (o,) in entries(b"co64", ">Q", 8)]
+        else:
+            chunk_offs = [o for (o,) in entries(b"stco", ">I", 4)]
+        samples = []
+        snum = 1
+        for ci, coff in enumerate(chunk_offs, start=1):
+            per = 0
+            for first, spc, _desc in stsc:
+                if first <= ci:
+                    per = spc
+                else:
+                    break
+            pos = coff
+            for _ in range(per):
+                if snum > n_samples:
+                    break
+                size = sizes[snum - 1]
+                samples.append((
+                    snum, pos, size,
+                    pts[snum - 1] if snum - 1 < len(pts) else 0,
+                    sync is None or snum in sync,
+                ))
+                pos += size
+                snum += 1
+        if snum <= n_samples:
+            raise ValueError(
+                "MP4 chunk map covers %d of %d samples"
+                % (snum - 1, n_samples)
+            )
+        return codec, timescale, samples
+    raise ValueError("MP4 has no video track")
+
+
 def _probe_wav(data: bytes):
     """WAV metadata from the RIFF fmt/data chunks (the canonical
     public layout): (duration_ms, sample_rate, channels, bit_depth)."""
@@ -697,6 +849,98 @@ def probe_av(media: DataFrame, n_buckets: int = 0) -> DataFrame:
 
     balanced = _balance(media, n_buckets)
     return balanced.mapInPandas(stage, AV_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("codec", StringType()),      # stsd fourcc
+        StructField("frame_index", IntegerType()),  # 0-based pick
+        StructField("sample_number", IntegerType()),  # 1-based in track
+        StructField("pts_ms", LongType()),
+        StructField("is_sync", StringType()),    # "yes"/"no"
+        StructField("n_bytes", LongType()),
+        StructField("data", BinaryType()),       # raw encoded sample
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, max_frames: int = 16,
+                  keyframes_only: bool = True,
+                  n_buckets: int = 0) -> DataFrame:
+    """Frame SAMPLING over MP4/MOV binary columns — the video stage a
+    multimodal pretraining mix runs first: pick up to `max_frames`
+    evenly-spaced samples per video (sync/key frames only by default,
+    the decodable-in-isolation ones) and emit each one's raw encoded
+    access unit with its presentation time. Pure container math
+    (stbl walk, `_mp4_samples`) — handing the codec bytes + pts to a
+    GPU/codec featurizer downstream is exactly the seam; no video
+    codec lives in this container.
+
+    Same 100 TB shape as the other decode stages: content-hash
+    repartition (default bucket count = session parallelism), Arrow
+    batches, one output row per selected frame, malformed inputs
+    become one per-row decode_error row, never a task failure."""
+
+    def stage(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.to_dict("records"):
+                data = bytes(r["data"] or b"")
+                ref = r["media_ref"]
+                try:
+                    codec, timescale, samples = _mp4_samples(data)
+                    pick = [s for s in samples if s[4]] \
+                        if keyframes_only else samples
+                    if not pick:
+                        raise ValueError("MP4 has no sync samples")
+                    if len(pick) > max_frames:
+                        # evenly spaced over the video, first + last
+                        # ends anchored (the standard sampling grid)
+                        if max_frames == 1:
+                            pick = [pick[0]]
+                        else:
+                            step = (len(pick) - 1) / (max_frames - 1)
+                            pick = [pick[round(i * step)]
+                                    for i in range(max_frames)]
+                    rows = []
+                    for fi, (snum, off, size, pts, is_sync) in \
+                            enumerate(pick):
+                        if off + size > len(data):
+                            raise ValueError(
+                                "MP4 sample %d at %d+%d runs past "
+                                "EOF (%d)" % (snum, off, size,
+                                              len(data))
+                            )
+                        rows.append({
+                            "media_ref": ref, "codec": codec,
+                            "frame_index": fi,
+                            "sample_number": snum,
+                            "pts_ms": pts * 1000 // timescale,
+                            "is_sync": "yes" if is_sync else "no",
+                            "n_bytes": size,
+                            "data": data[off:off + size],
+                            "decode_error": None,
+                        })
+                    out.extend(rows)  # all-or-error per video
+                except (NotImplementedError, ValueError, IndexError,
+                        MemoryError) as e:
+                    out.append({
+                        "media_ref": ref, "codec": None,
+                        "frame_index": None, "sample_number": None,
+                        "pts_ms": None, "is_sync": None,
+                        "n_bytes": len(data), "data": None,
+                        "decode_error": str(e),
+                    })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    balanced = _balance(media, n_buckets)
+    return balanced.mapInPandas(stage, FRAMES_SCHEMA)
 
 
 def _decode_image_stub(data: bytes):
@@ -1080,6 +1324,101 @@ def decode_pixels(media: DataFrame, n_buckets: int = 0) -> DataFrame:
     return balanced.mapInPandas(stage, PIXELS_SCHEMA)
 
 
+_FMT_CHANNELS = {"rgb8": 3, "rgba8": 4, "gray8": 1, "graya8": 2}
+
+
+def _resize_bilinear(arr, out_h: int, out_w: int):
+    """Vectorized bilinear resample of an (h, w, c) uint8 array —
+    half-pixel-center grid (src = (dst+0.5)*in/out - 0.5, the
+    align_corners=False convention shared by OpenCV/PIL/torch), edge
+    clamped. Two gathers + two lerps, no Python per-pixel loops."""
+    import numpy as np
+
+    h, w, _c = arr.shape
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = arr.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.rint(out).clip(0, 255).astype(np.uint8)
+
+
+def _resize_nearest(arr, out_h: int, out_w: int):
+    import numpy as np
+
+    h, w, _c = arr.shape
+    ys = np.minimum(
+        ((np.arange(out_h) + 0.5) * h // out_h).astype(np.int64), h - 1
+    )
+    xs = np.minimum(
+        ((np.arange(out_w) + 0.5) * w // out_w).astype(np.int64), w - 1
+    )
+    return arr[ys][:, xs]
+
+
+def resize_pixels(pixels: DataFrame, out_width: int, out_height: int,
+                  method: str = "bilinear") -> DataFrame:
+    """Resize stage over decode_pixels output (the normalize-to-
+    model-input step of an image training pipeline): every decoded
+    row's sample buffer resampled to (out_width, out_height) with
+    vectorized bilinear (default) or nearest. Rows that failed
+    decode pass through with their decode_error; unknown pixel
+    formats become per-row errors. Narrow map — no shuffle: the
+    input stage already content-hash-balanced the rows."""
+    if method not in ("bilinear", "nearest"):
+        raise ValueError("method must be bilinear|nearest")
+    if out_width <= 0 or out_height <= 0:
+        raise ValueError("resize dimensions must be positive")
+
+    def stage(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        fn = _resize_bilinear if method == "bilinear" else _resize_nearest
+        for pdf in batches:
+            out = []
+            for r in pdf.to_dict("records"):
+                rec = {
+                    "media_ref": r["media_ref"],
+                    "n_bytes": r["n_bytes"],
+                    "width": out_width, "height": out_height,
+                    "pixel_format": r["pixel_format"], "pixels": None,
+                    "decode_error": r["decode_error"],
+                }
+                try:
+                    if r["pixels"] is None:
+                        rec.update(width=None, height=None)
+                    else:
+                        c = _FMT_CHANNELS.get(r["pixel_format"])
+                        if c is None:
+                            raise ValueError(
+                                "no resize for pixel_format %r"
+                                % r["pixel_format"]
+                            )
+                        arr = np.frombuffer(
+                            bytes(r["pixels"]), np.uint8
+                        ).reshape(r["height"], r["width"], c)
+                        rec["pixels"] = fn(
+                            arr, out_height, out_width
+                        ).tobytes()
+                except (ValueError, MemoryError) as e:
+                    rec.update(width=None, height=None,
+                               decode_error=str(e))
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PIXELS_SCHEMA.fields]
+            )
+
+    return pixels.mapInPandas(stage, PIXELS_SCHEMA)
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("media_ref", StringType()),
@@ -1206,6 +1545,90 @@ def decode_audio(media: DataFrame, n_buckets: int = 0) -> DataFrame:
 
     balanced = _balance(media, n_buckets)
     return balanced.mapInPandas(stage, AUDIO_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_windows", IntegerType()),
+        StructField("window_ms", IntegerType()),
+        StructField("rms", BinaryType()),        # float32[n_windows]
+        StructField("centroid_hz", BinaryType()),  # float32[n_windows]
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def audio_features(audio: DataFrame, window_ms: int = 25,
+                   hop_ms: int = 10) -> DataFrame:
+    """Feature extraction over decode_audio output (the audio
+    analogue of decode_and_featurize): per sliding window of the
+    mono-mixed PCM, RMS energy and spectral centroid (rFFT,
+    magnitude-weighted mean frequency) — the classic front-end pair
+    a filtering/quality stage runs before heavier featurizers. Fully
+    vectorized: windows come from a stride trick, one batched rFFT
+    per row. Narrow map, no shuffle — decode_audio already
+    content-hash-balanced the rows."""
+    if window_ms <= 0 or hop_ms <= 0:
+        raise ValueError("window_ms/hop_ms must be positive")
+
+    def stage(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.to_dict("records"):
+                rec = {
+                    "media_ref": r["media_ref"],
+                    "sample_rate": r["sample_rate"],
+                    "n_windows": None, "window_ms": window_ms,
+                    "rms": None, "centroid_hz": None,
+                    "decode_error": r["decode_error"],
+                }
+                try:
+                    if r["samples"] is None:
+                        out.append(rec)
+                        continue
+                    rate = int(r["sample_rate"])
+                    ch = max(1, int(r["channels"] or 1))
+                    pcm = np.frombuffer(
+                        bytes(r["samples"]), np.float32
+                    ).reshape(-1, ch).mean(axis=1)
+                    win = max(1, rate * window_ms // 1000)
+                    hop = max(1, rate * hop_ms // 1000)
+                    if len(pcm) < win:
+                        rec.update(n_windows=0, rms=b"",
+                                   centroid_hz=b"")
+                        out.append(rec)
+                        continue
+                    n = 1 + (len(pcm) - win) // hop
+                    frames = np.lib.stride_tricks.as_strided(
+                        pcm, (n, win),
+                        (pcm.strides[0] * hop, pcm.strides[0]),
+                    )
+                    rms = np.sqrt(
+                        np.mean(frames.astype(np.float64) ** 2, axis=1)
+                    ).astype(np.float32)
+                    mag = np.abs(np.fft.rfft(frames, axis=1))
+                    freqs = np.fft.rfftfreq(win, 1.0 / rate)
+                    denom = mag.sum(axis=1)
+                    cent = np.where(
+                        denom > 0, (mag * freqs).sum(axis=1)
+                        / np.maximum(denom, 1e-12), 0.0
+                    ).astype(np.float32)
+                    rec.update(n_windows=int(n), rms=rms.tobytes(),
+                               centroid_hz=cent.tobytes())
+                except (ValueError, MemoryError) as e:
+                    rec["decode_error"] = str(e)
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields],
+            )
+
+    return audio.mapInPandas(stage, AUDIO_FEATURES_SCHEMA)
 
 
 def media_from_crawl(results: DataFrame) -> DataFrame:

@@ -89,6 +89,70 @@ def _tiny_png(seed: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _tiny_wav(seed: int) -> bytes:
+    """A VALID deterministic mono 16-bit 8 kHz WAV (400 samples from
+    the seed's sha256 stream) so the audio loop — crawl -> WARC ->
+    warc_to_media -> decode_audio -> audio_features — runs on real
+    PCM end to end. Pure function of seed; ~850 bytes."""
+    import struct
+
+    raw = bytearray()
+    stream = hashlib.sha256(b"pcm%d" % seed).digest()
+    while len(raw) < 400 * 2:
+        raw += stream
+        stream = hashlib.sha256(stream).digest()
+    pcm = bytes(raw[:400 * 2])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def _tiny_mp4(seed: int) -> bytes:
+    """A VALID deterministic MP4 with REAL sample tables (ISO/IEC
+    14496-12): three video samples (opaque payload bytes from the
+    seed hash) split over two chunks, sync samples 1 and 3 — enough
+    for probe_av AND sample_frames to walk the container through the
+    archive path. mdat precedes moov so chunk offsets are static."""
+    import struct
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag, body):
+        return box(tag, b"\x00\x00\x00\x00" + body)
+
+    pays = [hashlib.sha256(b"frame%d:%d" % (seed, i)).digest()[:10 + i]
+            for i in range(3)]
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isommp42")
+    mdat = box(b"mdat", b"".join(pays))
+    base = len(ftyp) + 8
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"avc1", b"\x00" * 78))
+    stts = full(b"stts", struct.pack(">III", 1, 3, 200))
+    stss = full(b"stss", struct.pack(">III", 2, 1, 3))
+    stsc = full(b"stsc", struct.pack(">I", 2)
+                + struct.pack(">III", 1, 2, 1)
+                + struct.pack(">III", 2, 1, 1))
+    stsz = full(b"stsz", struct.pack(">II", 0, 3)
+                + b"".join(struct.pack(">I", len(p)) for p in pays))
+    stco = full(b"stco", struct.pack(">III", 2, base,
+                                     base + sum(len(p)
+                                                for p in pays[:2])))
+    stbl = box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+    mdhd = full(b"mdhd", b"\x00" * 8 + struct.pack(">II", 600, 600)
+                + b"\x00" * 4)
+    hdlr = full(b"hdlr", b"\x00\x00\x00\x00" + b"vide" + b"\x00" * 12)
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+    tkhd = full(b"tkhd", b"\x00" * 72
+                + struct.pack(">II", 64 << 16, 48 << 16))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", b"\x00" * 8 + struct.pack(">II", 600, 600)
+                + b"\x00" * 80)
+    return ftyp + mdat + box(b"moov", mvhd + trak)
+
+
 def _resp(status: int, headers: list, body: bytes = b"", reason: str = "OK") -> bytes:
     out = "HTTP/1.1 %d %s\r\n" % (status, reason)
     hs = list(headers)
@@ -334,6 +398,16 @@ def fixture_response(
         seed = _h(m.group(1))
         return _resp(200, [("Content-Type", "image/png")],
                      _tiny_png(seed)), delay
+
+    m = re.match(r"^/audio/(\w+)\.wav$", path)
+    if m:
+        return _resp(200, [("Content-Type", "audio/wav")],
+                     _tiny_wav(_h(m.group(1)))), delay
+
+    m = re.match(r"^/video/(\w+)\.mp4$", path)
+    if m:
+        return _resp(200, [("Content-Type", "video/mp4")],
+                     _tiny_mp4(_h(m.group(1)))), delay
 
     if path == "/robots.txt":
         seed = _h(host)

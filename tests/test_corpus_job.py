@@ -27,11 +27,18 @@ MEDIA_SEEDS = [
     "http://host1.test/image/im7.png",
 ]
 
+# audio/video fetches ride the same crawl into the AV branches:
+# sample_frames (MP4 key frames) and audio_features (WAV PCM)
+AV_SEEDS = [
+    "http://host0.test/audio/a1.wav",
+    "http://host1.test/video/v1.mp4",
+]
+
 
 def _build(spark, tmp_path, name):
     out = str(tmp_path / name)
     raw = crawl(
-        spark, SEEDS + MEDIA_SEEDS,
+        spark, SEEDS + MEDIA_SEEDS + AV_SEEDS,
         CrawlSettings(timeout=600, writehead=True),
     ).filter("outcome = 'done'")
     write_warc(raw, out).collect()
@@ -97,8 +104,11 @@ def test_corpus_build_end_to_end(spark, tmp_path):
     # ONLY there — documents stayed at 14 above), and decode_pixels
     # recovered the fixture PNGs' actual samples
     media = {r["media_ref"]: r for r in corpus["media"].collect()}
-    assert set(media) == set(MEDIA_SEEDS)
-    assert all(r["kind"] == "image" for r in media.values())
+    assert set(media) == set(MEDIA_SEEDS + AV_SEEDS)
+    kinds = {ref: r["kind"] for ref, r in media.items()}
+    assert all(kinds[s] == "image" for s in MEDIA_SEEDS)
+    assert kinds["http://host0.test/audio/a1.wav"] == "audio"
+    assert kinds["http://host1.test/video/v1.mp4"] == "video"
     px = {r["media_ref"]: r for r in corpus["media_pixels"].collect()}
     assert set(px) == set(MEDIA_SEEDS)
     for ref, r in px.items():
@@ -110,8 +120,34 @@ def test_corpus_build_end_to_end(spark, tmp_path):
         assert bytes(r["pixels"]) == want
     feats = {r["media_ref"]: r
              for r in corpus["media_features"].collect()}
-    assert all(f["decode_error"] is None for f in feats.values())
-    assert all(len(f["feature"]) == 64 for f in feats.values())
+    img_feats = {k: v for k, v in feats.items() if k in set(MEDIA_SEEDS)}
+    assert all(f["decode_error"] is None for f in img_feats.values())
+    assert all(len(f["feature"]) == 64 for f in img_feats.values())
+
+    # AV branch: MP4 key frames recovered as the exact encoded
+    # sample bytes from the archived fixture container
+    import hashlib as _hashlib
+
+    from minicrawler_spark.sources.fixtures import _h as _fixh
+
+    frames = [r for r in corpus["media_frames"].collect()]
+    assert {f["media_ref"] for f in frames} == {
+        "http://host1.test/video/v1.mp4"}
+    assert [f["sample_number"] for f in frames] == [1, 3]  # sync only
+    seed = _fixh("v1")
+    want = [_hashlib.sha256(b"frame%d:%d" % (seed, i)).digest()[:10 + i]
+            for i in range(3)]
+    assert [bytes(f["data"]) for f in frames] == [want[0], want[2]]
+    assert all(f["codec"] == "avc1" and f["is_sync"] == "yes"
+               for f in frames)
+
+    af = corpus["media_audio_features"].collect()
+    assert len(af) == 1 and af[0]["media_ref"] == (
+        "http://host0.test/audio/a1.wav")
+    assert af[0]["decode_error"] is None
+    # 400 samples @ 8 kHz, 25 ms window / 10 ms hop -> 3 windows
+    assert af[0]["n_windows"] == 3
+    assert len(bytes(af[0]["rms"])) == 3 * 4
 
 
 def test_corpus_build_deterministic(spark, tmp_path):

@@ -1552,3 +1552,258 @@ def test_pixel_decoder_decompression_bomb_guard():
         with pytest.raises(ValueError, match="max_pixels"):
             _pixels_of(bomb)
     assert 60000 * 60000 > MAX_PIXELS  # the guard, not a parse error
+
+
+def _encode_mp4_samples(payloads, sync=(1,), timescale=600,
+                        delta=100, ctts_off=50, first_chunk_n=2):
+    """Structurally real MP4 with full sample tables (ISO/IEC
+    14496-12): ftyp + mdat(payload bytes) + moov{mvhd, video trak
+    {tkhd, mdia{hdlr, mdhd, minf{stbl{stsd avc1, stts 2-run, ctts,
+    stss, stsc 2-run, stsz, stco}}}}} — mdat BEFORE moov so chunk
+    offsets depend only on the fixed ftyp length. Two chunks: the
+    first holds `first_chunk_n` samples, the second the rest."""
+    import struct
+
+    n = len(payloads)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isommp42")
+    mdat = _box(b"mdat", b"".join(payloads))
+    base = len(ftyp) + 8  # payload start inside mdat
+    # chunk 1: samples[0:first_chunk_n]; chunk 2: the rest
+    c1_off = base
+    c2_off = base + sum(len(p) for p in payloads[:first_chunk_n])
+
+    def full(tag, body):
+        return _box(tag, b"\x00\x00\x00\x00" + body)
+
+    stsd = full(b"stsd", struct.pack(">I", 1)
+                + _box(b"avc1", b"\x00" * 78))
+    # stts: first 2 samples at `delta`, the rest at 2*delta
+    runs = [(min(2, n), delta)]
+    if n > 2:
+        runs.append((n - 2, 2 * delta))
+    stts = full(b"stts", struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">II", c, d) for c, d in runs))
+    ctts = full(b"ctts", struct.pack(">I", 1)
+                + struct.pack(">II", n, ctts_off))
+    stss = full(b"stss", struct.pack(">I", len(sync)) + b"".join(
+        struct.pack(">I", s) for s in sync))
+    stsc_runs = [(1, first_chunk_n, 1)]
+    if n > first_chunk_n:
+        stsc_runs.append((2, n - first_chunk_n, 1))
+    stsc = full(b"stsc", struct.pack(">I", len(stsc_runs)) + b"".join(
+        struct.pack(">III", f, s, d) for f, s, d in stsc_runs))
+    stsz = full(b"stsz", struct.pack(">II", 0, n) + b"".join(
+        struct.pack(">I", len(p)) for p in payloads))
+    stco = full(b"stco", struct.pack(">I", 2 if n > first_chunk_n else 1)
+                + struct.pack(">I", c1_off)
+                + (struct.pack(">I", c2_off)
+                   if n > first_chunk_n else b""))
+    stbl = _box(b"stbl", stsd + stts + ctts + stss + stsc + stsz + stco)
+    mdhd = full(b"mdhd", b"\x00" * 8
+                + struct.pack(">II", timescale, delta * n) + b"\x00" * 4)
+    hdlr = full(b"hdlr", b"\x00\x00\x00\x00" + b"vide" + b"\x00" * 12)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(b"tkhd", b"\x00" * 72
+                + struct.pack(">II", 320 << 16, 240 << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", b"\x00" * 8
+                + struct.pack(">II", timescale, delta * n) + b"\x00" * 80)
+    return ftyp + mdat + _box(b"moov", mvhd + trak)
+
+
+def test_mp4_sample_table_walk():
+    """_mp4_samples resolves every sample to its exact byte range,
+    pts (stts+ctts) and sync flag from the container tables alone —
+    verified by slicing the encoded file back out."""
+    from minicrawler_spark.operators.multimodal import _mp4_samples
+
+    payloads = [b"K0" * 9, b"p1" * 5, b"p2" * 7, b"K3" * 4, b"p4" * 6]
+    data = _encode_mp4_samples(payloads, sync=(1, 4))
+    codec, timescale, samples = _mp4_samples(data)
+    assert codec == "avc1" and timescale == 600
+    assert [s[0] for s in samples] == [1, 2, 3, 4, 5]
+    # byte ranges recover the original payloads across BOTH chunks
+    assert [data[off:off + size] for _n, off, size, _p, _s in samples] \
+        == payloads
+    # pts: dts(100,200 then +200 steps) + ctts 50
+    assert [s[3] for s in samples] == [50, 150, 250, 450, 650]
+    assert [s[4] for s in samples] == [True, False, False, True, False]
+
+
+def test_mp4_sample_table_forged_counts_rejected():
+    """A forged entry count must be rejected against the box's actual
+    size BEFORE any table is built (the AV analogue of the image
+    decompression-bomb guard)."""
+    import struct
+
+    import pytest
+
+    from minicrawler_spark.operators.multimodal import _mp4_samples
+
+    data = bytearray(_encode_mp4_samples([b"x" * 8, b"y" * 8]))
+    # find stsz and forge its sample count to 2^30
+    i = bytes(data).find(b"stsz")
+    assert i > 0
+    data[i + 12:i + 16] = struct.pack(">I", 1 << 30)
+    with pytest.raises(ValueError, match="stsz"):
+        _mp4_samples(bytes(data))
+
+
+def test_sample_frames_operator(spark):
+    """The Spark stage: keyframes picked per video with raw encoded
+    bytes + pts, corrupt rows become per-row decode_error."""
+    from minicrawler_spark.operators.multimodal import sample_frames
+
+    payloads = [bytes([65 + i]) * (4 + i) for i in range(6)]
+    good = _encode_mp4_samples(payloads, sync=(1, 3, 5))
+    rows = [
+        ("mp4://good", "video", "video/mp4", bytearray(good)),
+        ("mp4://bad", "video", "video/mp4", bytearray(b"\x00" * 32)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, content_type string, "
+              "data binary",
+    )
+    out = {r["media_ref"]: r for r in sample_frames(
+        media, max_frames=2).collect()}
+    frames = [r for r in sample_frames(media).collect()
+              if r["media_ref"] == "mp4://good"]
+    # all 3 sync samples when under max_frames
+    assert [f["sample_number"] for f in frames] == [1, 3, 5]
+    assert all(f["is_sync"] == "yes" for f in frames)
+    assert [bytes(f["data"]) for f in frames] == [
+        payloads[0], payloads[2], payloads[4]]
+    # max_frames=2 picks the ends of the sync grid
+    two = [r for r in sample_frames(media, max_frames=2).collect()
+           if r["media_ref"] == "mp4://good"]
+    assert [f["sample_number"] for f in two] == [1, 5]
+    bad = out["mp4://bad"]
+    assert bad["decode_error"] and bad["data"] is None
+
+
+def test_resize_bilinear_matches_scalar_reference():
+    """The vectorized bilinear resampler vs a per-pixel scalar
+    reference of the same half-pixel-center convention — exact on
+    every (out_y, out_x, channel), plus identity at same size."""
+    import numpy as np
+
+    from minicrawler_spark.operators.multimodal import (
+        _resize_bilinear,
+        _resize_nearest,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (7, 9, 3), dtype=np.uint8)
+
+    def scalar(a, oh, ow):
+        h, w, c = a.shape
+        out = np.zeros((oh, ow, c), np.uint8)
+        for oy in range(oh):
+            sy = (oy + 0.5) * h / oh - 0.5
+            y0 = min(max(int(np.floor(sy)), 0), h - 1)
+            y1 = min(y0 + 1, h - 1)
+            fy = min(max(sy - y0, 0.0), 1.0)
+            for ox in range(ow):
+                sx = (ox + 0.5) * w / ow - 0.5
+                x0 = min(max(int(np.floor(sx)), 0), w - 1)
+                x1 = min(x0 + 1, w - 1)
+                fx = min(max(sx - x0, 0.0), 1.0)
+                for ch in range(c):
+                    top = a[y0, x0, ch] * (1 - fx) + a[y0, x1, ch] * fx
+                    bot = a[y1, x0, ch] * (1 - fx) + a[y1, x1, ch] * fx
+                    out[oy, ox, ch] = np.uint8(
+                        np.clip(np.rint(top * (1 - fy) + bot * fy),
+                                0, 255))
+        return out
+
+    for oh, ow in ((4, 5), (14, 18), (7, 9), (1, 1), (3, 20)):
+        got = _resize_bilinear(arr, oh, ow)
+        assert got.shape == (oh, ow, 3)
+        assert np.array_equal(got, scalar(arr, oh, ow)), (oh, ow)
+    # identity: same-size grid lands exactly on source pixels
+    assert np.array_equal(_resize_bilinear(arr, 7, 9), arr)
+    assert np.array_equal(_resize_nearest(arr, 7, 9), arr)
+    # nearest 2x downscale picks the box centers
+    small = _resize_nearest(arr[:6, :8], 3, 4)
+    assert np.array_equal(small, arr[:6, :8][1::2, 1::2])
+    # single-channel path
+    g = rng.randint(0, 256, (5, 5, 1), dtype=np.uint8)
+    assert _resize_bilinear(g, 2, 2).shape == (2, 2, 1)
+
+
+def test_resize_pixels_operator(spark):
+    """decode_pixels -> resize_pixels composition: decoded rows come
+    out at the target grid with channel count preserved; rows that
+    failed decode pass through with their decode_error intact."""
+    from minicrawler_spark.operators.multimodal import (
+        decode_pixels,
+        resize_pixels,
+    )
+
+    px = bytes((x * 7 + y * 13 + c) % 256
+               for y in range(7) for x in range(9) for c in range(3))
+    png = _encode_png(9, 7, px)
+    rows = [
+        ("px://ok", "image", "image/png", bytearray(png)),
+        ("px://bad", "image", "image/png", bytearray(b"nope")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, content_type string, "
+              "data binary",
+    )
+    out = {r["media_ref"]: r for r in resize_pixels(
+        decode_pixels(media), 16, 12).collect()}
+    ok = out["px://ok"]
+    nch = {"rgb8": 3, "rgba8": 4, "gray8": 1, "graya8": 2}[
+        ok["pixel_format"]]
+    assert (ok["width"], ok["height"]) == (16, 12)
+    assert len(bytes(ok["pixels"])) == 16 * 12 * nch
+    assert ok["decode_error"] is None
+    bad = out["px://bad"]
+    assert bad["pixels"] is None and bad["decode_error"]
+
+
+def test_audio_features_sine_oracle(spark):
+    """decode_audio -> audio_features on an exact-bin sine: every
+    window holds an integer number of periods, so the rFFT puts all
+    energy in one bin — spectral centroid == the tone frequency and
+    RMS == amplitude/sqrt(2), analytically."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from minicrawler_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+    )
+
+    rate, freq, amp = 16000, 400.0, 0.5
+    t = np.arange(rate, dtype=np.float64) / rate  # 1 s
+    pcm = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    media = spark.createDataFrame(
+        [("wav://sine", "audio", "audio/wav", bytearray(buf.getvalue())),
+         ("wav://bad", "audio", "audio/wav", bytearray(b"RIFFxxxx"))],
+        "media_ref string, kind string, content_type string, "
+        "data binary",
+    )
+    out = {r["media_ref"]: r
+           for r in audio_features(decode_audio(media)).collect()}
+    ok = out["wav://sine"]
+    # 25 ms windows / 10 ms hop over 1 s -> 1 + (16000-400)//160
+    assert ok["n_windows"] == 1 + (rate - 400) // 160
+    rms = np.frombuffer(bytes(ok["rms"]), np.float32)
+    cent = np.frombuffer(bytes(ok["centroid_hz"]), np.float32)
+    assert rms.shape == cent.shape == (ok["n_windows"],)
+    assert np.allclose(rms, amp / np.sqrt(2), atol=2e-3)
+    assert np.allclose(cent, freq, atol=1.0)
+    bad = out["wav://bad"]
+    assert bad["decode_error"] and bad["rms"] is None
