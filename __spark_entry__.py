@@ -527,6 +527,47 @@ def q_resize_pixels(spark, sf):
     )
 
 
+def q_sample_frames(spark, sf):
+    """MP4 frame sampling (operators/multimodal.py sample_frames):
+    deterministic fixture containers (sources/fixtures._tiny_mp4 —
+    real ISO-BMFF sample tables, payload i = the first 10+i bytes of
+    sha256('frame{seed}:{i}')) are built per document row, and every
+    output field the stbl walk recovers — sync sample numbers, pts
+    from stts at timescale 600, sizes, the payload bytes themselves —
+    is CLOSED FORM in the seed, so the DuckDB oracle replays it in
+    hex space. The structural corners (chunk maps, forged counts,
+    co64, ctts) are pinned in tests/test_operators.py."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def mk_mp4(doc_ids):
+        import pandas as pd
+
+        from minicrawler_spark.sources.fixtures import _h, _tiny_mp4
+
+        return pd.Series(
+            [bytearray(_tiny_mp4(_h(str(d)))) for d in doc_ids]
+        )
+
+    from minicrawler_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.concat(F.lit("vid://doc/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("content_type"),
+        mk_mp4(F.col("doc_id").cast("string")).alias("data"),
+    )
+    return sample_frames(media).select(
+        "media_ref", "codec", "frame_index", "sample_number",
+        "pts_ms", "is_sync", "n_bytes",
+        F.sha2(F.lower(F.hex("data")), 256).alias("frame_sha"),
+    )
+
+
 def q_url_canonicalize(spark, sf):
     """WHATWG canonicalization over synthesized messy URLs. The
     oracle is the closed form of the construction (uppercase scheme/
@@ -609,6 +650,7 @@ QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_pixel_recovery": q_pixel_recovery,
     "q_resize_pixels": q_resize_pixels,
+    "q_sample_frames": q_sample_frames,
     "q_url_canonicalize": q_url_canonicalize,
 }
 
@@ -1097,6 +1139,26 @@ ORACLES = {
              sha256(out_hex) as pixel_sha,
              192::BIGINT as pixel_bytes
       from rz
+    """,
+    "q_sample_frames": """
+      with m as (
+        select 'vid://doc/' || doc_id::VARCHAR as media_ref,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT
+                 as seed
+        from documents
+      )
+      -- the fixture MP4 holds 3 samples (payload i = first 10+i
+      -- bytes of sha256('frame{seed}:{i}')), sync samples 1 and 3,
+      -- stts delta 200 at timescale 600 -> pts_ms 0 and 666
+      select media_ref, 'avc1' as codec, idx::INT as frame_index,
+             (i + 1)::INT as sample_number,
+             ((i * 200 * 1000) // 600)::BIGINT as pts_ms,
+             'yes' as is_sync,
+             (10 + i)::BIGINT as n_bytes,
+             sha256(substr(sha256('frame' || seed::VARCHAR || ':'
+                                  || i::VARCHAR),
+                           1, 2 * (10 + i))) as frame_sha
+      from m, (values (0, 0), (1, 2)) as t(idx, i)
     """,
     "q_url_canonicalize": """
       select doc_id,

@@ -182,6 +182,7 @@ def main():
         "q_multimodal_features",
         "q_pixel_recovery",
         "q_resize_pixels",
+        "q_sample_frames",
         "q_url_canonicalize",
         "q_line_dedup",
         "q_pack_sequences",
