@@ -297,45 +297,92 @@ def dup_clusters(
             F.col("label").alias("cluster_id"),
         )
 
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    # Propagation WITH per-round edge contraction (round 5): the
+    # previous loop re-joined the FULL edge set against the labels
+    # every round — on the dup-heavy sf0.1 graph that is an 18M-row
+    # join x rounds. Instead each round (a) takes every current
+    # label-space node to the min of its neighborhood (strictly
+    # improving only), (b) composes that into the full node->label
+    # mapping, and (c) REWRITES the edges in the new label space,
+    # dropping self-loops and duplicates — dense near-dup components
+    # collapse after one round, so later rounds run on a
+    # geometrically smaller graph (a path still contracts by only
+    # one hop per round, which keeps the documented O(diameter)
+    # bound and the non-convergence semantics). Exact: contraction
+    # preserves connectivity, the component min never relabels
+    # (strict m < node), and convergence == no cross-label edge
+    # remains.
+    cur = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # EAGER: round 1's first job references cur twice (the
+        # symmetric union), so a lazy checkpoint here would compute
+        # the whole upstream pair pipeline twice concurrently
+        .localCheckpoint(eager=True)
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
     labels = (
-        edges.select(F.col("src").alias("node"))
+        cur.select(F.col("a").alias("node"))
+        .union(cur.select(F.col("b").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
     )
-    changed = 0
+    converged = False
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
+        sym = cur.union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", "label")
-                ).alias("label"),
+        # eager: the contraction below references upd twice (one
+        # side per endpoint) — the round-3 single-reference
+        # discipline for lazy checkpoints
+        upd = (
+            sym.groupBy(F.col("a").alias("node"))
+            .agg(F.min("b").alias("m"))
+            .filter(F.col("m") < F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        # upd is bounded by the round's node count and shrinks with
+        # the contraction; when it fits (virtually always below
+        # corpus-of-billions scale) broadcast it so the relabel of
+        # the big edge set is map-side — the only shuffle left in a
+        # round is then the groupBy above plus a distinct that
+        # map-side-collapses the relabeled (now few-valued) pairs.
+        # The eager checkpoint makes the count a free lookup.
+        bcast = upd.count() <= 4_000_000
+        updj = F.broadcast(upd) if bcast else upd
+        labels = labels.join(
+            updj.withColumnRenamed("node", "label"), "label", "left"
+        ).select("node", F.coalesce("m", "label").alias("label"))
+        cur = (
+            cur.join(
+                updj.select(F.col("node").alias("a"),
+                            F.col("m").alias("ma")),
+                "a", "left",
             )
+            .join(
+                updj.select(F.col("node").alias("b"),
+                            F.col("m").alias("mb")),
+                "b", "left",
+            )
+            .select(
+                F.coalesce("ma", F.col("a")).alias("x"),
+                F.coalesce("mb", F.col("b")).alias("y"),
+            )
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"),
+                F.greatest("x", "y").alias("b"),
+            )
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .filter(F.col("label") < F.col("old"))
-            .count()  # materializes new_labels' checkpoint too
-        )
-        labels = new_labels
-        if changed == 0:
+        if cur.count() == 0:  # materializes this round's contraction
+            converged = True
             break
+    changed = 0 if converged else 1
     if changed != 0:
         import warnings
 
@@ -354,26 +401,9 @@ def dup_clusters(
                 "contracted graph" % max_iter,
                 RuntimeWarning,
             )
-            la = labels.select(
-                F.col("node").alias("src"), F.col("label").alias("la")
-            )
-            contracted = (
-                edges.join(la, "src")
-                .join(
-                    la.select(
-                        F.col("src").alias("dst"),
-                        F.col("la").alias("lb"),
-                    ),
-                    "dst",
-                )
-                .select("la", "lb")
-                .filter(F.col("la") != F.col("lb"))
-            )
-            roots = _star_components(
-                contracted.select(
-                    F.col("la").alias("a"), F.col("lb").alias("b")
-                )
-            )
+            # `cur` is already the label-space contracted edge set
+            # maintained by the loop above
+            roots = _star_components(cur)
             root_map = roots.select(
                 F.col("node").alias("label"), F.col("label").alias("root")
             )
