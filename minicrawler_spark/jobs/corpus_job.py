@@ -163,7 +163,9 @@ def build_corpus(
         "split": split,
         "packed": packed,
         "media": media,
-        "media_features": decode_and_featurize(media),
+        "media_features": decode_and_featurize(
+            media.filter(F.col("kind") == "image")
+        ),
         "media_pixels": decode_pixels(
             media.filter(F.col("kind") == "image")
         ),

@@ -19,6 +19,7 @@ PIL/pyvips/ffmpeg, which are not in this container; the deterministic
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -648,10 +649,15 @@ def _mp4_samples(data: bytes, max_samples: int = 1 << 20):
             fmt = ">Ii" if cver == 1 else ">II"
             i = 0
             for cnt, off in entries(b"ctts", fmt, 8):
-                for _ in range(cnt):
-                    if i < len(pts):
-                        pts[i] = dts[i] + off
-                        i += 1
+                # bound the EXPANSION too: a single forged entry
+                # declaring 2^32 samples must not spin billions of
+                # iterations (same guard as stts)
+                take = min(cnt, len(pts) - i)
+                for _ in range(take):
+                    pts[i] = dts[i] + off
+                    i += 1
+                if i >= len(pts):
+                    break
         # stss: sync table (absent = every sample is sync)
         sync = None
         if b"stss" in boxes:
@@ -665,13 +671,12 @@ def _mp4_samples(data: bytes, max_samples: int = 1 << 20):
             chunk_offs = [o for (o,) in entries(b"stco", ">I", 4)]
         samples = []
         snum = 1
+        run_i = 0  # two-pointer walk: stsc runs are ascending by
+        per = 0    # first_chunk, so each advances at most once/chunk
         for ci, coff in enumerate(chunk_offs, start=1):
-            per = 0
-            for first, spc, _desc in stsc:
-                if first <= ci:
-                    per = spc
-                else:
-                    break
+            while run_i < len(stsc) and stsc[run_i][0] <= ci:
+                per = stsc[run_i][1]
+                run_i += 1
             pos = coff
             for _ in range(per):
                 if snum > n_samples:
@@ -840,7 +845,7 @@ def probe_av(media: DataFrame, n_buckets: int = 0) -> DataFrame:
                             "no AV prober for this magic (mp4/wav/mp3)"
                         )
                 except (NotImplementedError, ValueError, IndexError,
-                        MemoryError) as e:
+                        MemoryError, struct.error) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
             yield pd.DataFrame(
@@ -882,6 +887,8 @@ def sample_frames(media: DataFrame, max_frames: int = 16,
     repartition (default bucket count = session parallelism), Arrow
     batches, one output row per selected frame, malformed inputs
     become one per-row decode_error row, never a task failure."""
+    if max_frames <= 0:
+        raise ValueError("max_frames must be positive")
 
     def stage(batches: Iterator):
         import pandas as pd
@@ -927,7 +934,7 @@ def sample_frames(media: DataFrame, max_frames: int = 16,
                         })
                     out.extend(rows)  # all-or-error per video
                 except (NotImplementedError, ValueError, IndexError,
-                        MemoryError) as e:
+                        MemoryError, struct.error) as e:
                     out.append({
                         "media_ref": ref, "codec": None,
                         "frame_index": None, "sample_number": None,
@@ -1008,7 +1015,8 @@ def decode_and_featurize(media: DataFrame, batch_hint: int = 256,
                 try:
                     w, h, feat = _decode_image(data)
                     rec.update({"width": w, "height": h, "feature": feat})
-                except (NotImplementedError, ValueError, MemoryError) as e:
+                except (NotImplementedError, ValueError, MemoryError,
+                        struct.error) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
@@ -1313,7 +1321,8 @@ def decode_pixels(media: DataFrame, n_buckets: int = 0) -> DataFrame:
                     w, h, fmt, px = _pixels_of(data)
                     rec.update({"width": w, "height": h,
                                 "pixel_format": fmt, "pixels": px})
-                except (NotImplementedError, ValueError, MemoryError) as e:
+                except (NotImplementedError, ValueError, MemoryError,
+                        struct.error) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
             yield pd.DataFrame(
@@ -1344,8 +1353,10 @@ def _resize_bilinear(arr, out_h: int, out_w: int):
     wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
     wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
     f = arr.astype(np.float64)
-    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
-    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    r0 = f[y0]  # hoist the row gathers: each is an (out_h, w, c)
+    r1 = f[y1]  # copy, and each feeds both x-gathers below
+    top = r0[:, x0] * (1 - wx) + r0[:, x1] * wx
+    bot = r1[:, x0] * (1 - wx) + r1[:, x1] * wx
     out = top * (1 - wy) + bot * wy
     return np.rint(out).clip(0, 255).astype(np.uint8)
 
@@ -1536,7 +1547,8 @@ def decode_audio(media: DataFrame, n_buckets: int = 0) -> DataFrame:
                     rec.update({"sample_rate": rate, "channels": ch,
                                 "n_frames": nf, "sample_format": "f32",
                                 "samples": samples})
-                except (NotImplementedError, ValueError, MemoryError) as e:
+                except (NotImplementedError, ValueError, MemoryError,
+                        struct.error) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
             yield pd.DataFrame(
@@ -1608,16 +1620,24 @@ def audio_features(audio: DataFrame, window_ms: int = 25,
                         pcm, (n, win),
                         (pcm.strides[0] * hop, pcm.strides[0]),
                     )
-                    rms = np.sqrt(
-                        np.mean(frames.astype(np.float64) ** 2, axis=1)
-                    ).astype(np.float32)
-                    mag = np.abs(np.fft.rfft(frames, axis=1))
                     freqs = np.fft.rfftfreq(win, 1.0 / rate)
-                    denom = mag.sum(axis=1)
-                    cent = np.where(
-                        denom > 0, (mag * freqs).sum(axis=1)
-                        / np.maximum(denom, 1e-12), 0.0
-                    ).astype(np.float32)
+                    rms = np.empty(n, np.float32)
+                    cent = np.empty(n, np.float32)
+                    # block the FFT: a batched rfft over ALL windows
+                    # of an hour-long file is gigabytes of complex128
+                    # at once; 4096 windows at a time bounds peak
+                    # memory to a few MB regardless of duration
+                    for s0 in range(0, n, 4096):
+                        blk = frames[s0:s0 + 4096].astype(np.float64)
+                        rms[s0:s0 + 4096] = np.sqrt(
+                            np.mean(blk ** 2, axis=1)
+                        )
+                        mag = np.abs(np.fft.rfft(blk, axis=1))
+                        denom = mag.sum(axis=1)
+                        cent[s0:s0 + 4096] = np.where(
+                            denom > 0, (mag * freqs).sum(axis=1)
+                            / np.maximum(denom, 1e-12), 0.0
+                        )
                     rec.update(n_windows=int(n), rms=rms.tobytes(),
                                centroid_hz=cent.tobytes())
                 except (ValueError, MemoryError) as e:

@@ -120,9 +120,11 @@ def test_corpus_build_end_to_end(spark, tmp_path):
         assert bytes(r["pixels"]) == want
     feats = {r["media_ref"]: r
              for r in corpus["media_features"].collect()}
-    img_feats = {k: v for k, v in feats.items() if k in set(MEDIA_SEEDS)}
-    assert all(f["decode_error"] is None for f in img_feats.values())
-    assert all(len(f["feature"]) == 64 for f in img_feats.values())
+    # the features branch is image-only (AV assets go to the frame /
+    # audio branches, not junk decode_error rows here)
+    assert set(feats) == set(MEDIA_SEEDS)
+    assert all(f["decode_error"] is None for f in feats.values())
+    assert all(len(f["feature"]) == 64 for f in feats.values())
 
     # AV branch: MP4 key frames recovered as the exact encoded
     # sample bytes from the archived fixture container

@@ -1807,3 +1807,43 @@ def test_audio_features_sine_oracle(spark):
     assert np.allclose(cent, freq, atol=1.0)
     bad = out["wav://bad"]
     assert bad["decode_error"] and bad["rms"] is None
+
+
+def test_mp4_truncated_and_forged_ctts_stay_per_row(spark):
+    """Two confirmed adversarial shapes: a truncated sample-table
+    box raises struct.error (must land in decode_error, not kill the
+    task), and a forged ctts entry declaring 2^32-1 samples must not
+    spin billions of iterations (bounded by the real sample count —
+    the call returns promptly)."""
+    import struct as _struct
+    import time
+
+    from minicrawler_spark.operators.multimodal import (
+        _mp4_samples,
+        sample_frames,
+    )
+
+    # truncated: stsz header cut to an empty payload at EOF
+    good = _encode_mp4_samples([b"x" * 8, b"y" * 8])
+    i = good.find(b"stsz")
+    truncated = good[: i + 4]  # box type present, payload gone
+    rows = [("mp4://trunc", "video", "video/mp4",
+             bytearray(truncated))]
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, content_type string, "
+              "data binary",
+    )
+    out = sample_frames(media).collect()
+    assert len(out) == 1 and out[0]["decode_error"]
+
+    # forged ctts: count passes the per-entry size check (1 entry)
+    # but declares a 2^32-1 sample expansion
+    data = bytearray(_encode_mp4_samples([b"x" * 8, b"y" * 8]))
+    j = bytes(data).find(b"ctts")
+    # ctts payload: ver/flags, entry_count=1, (sample_count, offset)
+    data[j + 8:j + 12] = _struct.pack(">I", 1)
+    data[j + 12:j + 16] = _struct.pack(">I", 0xFFFFFFFF)
+    t0 = time.time()
+    codec, _ts, samples = _mp4_samples(bytes(data))
+    assert time.time() - t0 < 5.0  # bounded, not billions of iters
+    assert codec == "avc1" and len(samples) == 2
