@@ -37,7 +37,8 @@ from ..plans.sidecar_fs import fs_for
 
 __all__ = [
     "write_warc", "read_warc", "read_cdxj", "read_warc_records",
-    "warc_record_bytes", "warc_to_documents",
+    "write_wet", "read_wet", "warc_record_bytes", "warc_to_documents",
+    "warc_to_media",
 ]
 
 # the crawl's virtual epoch (streaming/crawl.py CRAWL_EPOCH) rendered
@@ -171,6 +172,89 @@ def _http_payload(row) -> bytes:
     return ("\r\n".join(lines) + "\r\n\r\n").encode("latin-1") + body
 
 
+class _Roller:
+    """Per-partition rolling archive writer shared by write_warc and
+    write_wet: size-capped `.{suffix}` files, one gzip member per
+    record, a CDXJ sidecar per rolled file, deterministic bytes
+    (gzip mtime=0, content-derived ids). Peak memory = the cap plus
+    one record."""
+
+    def __init__(self, the_fs, out_dir, pid, max_bytes,
+                 suffix=".warc.gz"):
+        self.fs = the_fs
+        self.out_dir = out_dir
+        self.pid = pid
+        self.max_bytes = max_bytes
+        self.suffix = suffix
+        self.out_rows = []  # (path, n_records, n_bytes) per file
+        self._reset()
+
+    def _reset(self):
+        self.buf = io.BytesIO()
+        self.n = 0
+        self.cdx = []
+        self.digest = hashlib.sha256()
+
+    def ensure_warcinfo(self):
+        # lazily open each rolled file with its warcinfo record
+        # (first member, ISO 28500 §6.2) — lazy so an empty
+        # partition emits no file at all
+        if self.buf.tell() == 0:
+            self.put(_warcinfo_record(self.pid, len(self.out_rows)))
+
+    def put(self, rec: bytes) -> None:
+        """Un-indexed member (warcinfo, request records)."""
+        self.buf.write(gzip.compress(rec, mtime=0))
+        self.digest.update(rec)
+
+    def put_indexed(self, rec: bytes, url: str, ts: int,
+                    status: int) -> None:
+        member = gzip.compress(rec, mtime=0)
+        self.cdx.append(
+            (url, ts, status, self.buf.tell(), len(member))
+        )
+        self.buf.write(member)
+        self.digest.update(rec)
+        self.n += 1
+        if self.buf.tell() >= self.max_bytes:
+            self.flush()
+
+    def flush(self) -> None:
+        """Publish the current buffer as one archive + its CDXJ
+        sidecar, then reset for the next roll."""
+        import json as _json
+
+        if self.n == 0:
+            return
+        stem = "part-%05d-%04d-%s" % (
+            self.pid, len(self.out_rows), self.digest.hexdigest()[:16]
+        )
+        path = "%s/%s%s" % (self.out_dir, stem, self.suffix)
+        # getbuffer(): hand the FS a zero-copy view, not a copy
+        self.fs.write_bytes_atomic(path, self.buf.getbuffer())
+        # CDXJ sidecar: one JSON line per record with the byte
+        # offset and compressed length of its gzip member — random
+        # access into the archive without scanning it (the pywb/
+        # OpenWayback index convention)
+        lines = [
+            "%s %d %s" % (
+                _cdx_escape(url), ts,
+                _json.dumps(
+                    {"offset": off, "length": ln, "status": status,
+                     "filename": stem + self.suffix},
+                    sort_keys=True,
+                ),
+            )
+            for url, ts, status, off, ln in self.cdx
+        ]
+        self.fs.write_bytes_atomic(
+            "%s/%s.cdxj" % (self.out_dir, stem),
+            ("\n".join(lines) + "\n").encode("utf-8"),
+        )
+        self.out_rows.append((path, self.n, self.buf.tell()))
+        self._reset()
+
+
 def write_warc(
     results: DataFrame,
     out_dir: str,
@@ -208,70 +292,13 @@ def write_warc(
             if c in results.columns]
 
     def stage(batches: Iterator):
-        import json as _json
-
         import pandas as pd
         from pyspark import TaskContext
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         the_fs.makedirs(out_dir)
-        out_rows = []  # (path, n_records, n_bytes) per rolled file
-        buf = io.BytesIO()
-        n = 0
-        seq = 0
-        digest = hashlib.sha256()
-        cdx = []  # (url, ts, status, offset, length) per record
-
-        def flush():
-            """Publish the current buffer as one archive + its CDXJ
-            sidecar, then reset for the next roll."""
-            nonlocal buf, n, seq, digest, cdx
-            if n == 0:
-                return
-            stem = "part-%05d-%04d-%s" % (
-                pid, seq, digest.hexdigest()[:16]
-            )
-            path = "%s/%s.warc.gz" % (out_dir, stem)
-            # getbuffer(): hand the FS a zero-copy view, not a copy
-            the_fs.write_bytes_atomic(path, buf.getbuffer())
-            # CDXJ sidecar: one JSON line per record with the byte
-            # offset and compressed length of its gzip member — random
-            # access into the archive without scanning it (the pywb/
-            # OpenWayback index convention)
-            lines = [
-                "%s %d %s" % (
-                    _cdx_escape(url), ts,
-                    _json.dumps(
-                        {"offset": off, "length": ln, "status": status,
-                         "filename": stem + ".warc.gz"},
-                        sort_keys=True,
-                    ),
-                )
-                for url, ts, status, off, ln in cdx
-            ]
-            the_fs.write_bytes_atomic(
-                "%s/%s.cdxj" % (out_dir, stem),
-                ("\n".join(lines) + "\n").encode("utf-8"),
-            )
-            out_rows.append((path, n, buf.tell()))
-            buf = io.BytesIO()
-            n = 0
-            seq += 1
-            digest = hashlib.sha256()
-            cdx = []
-
-        def put(rec: bytes) -> None:
-            # mtime=0: deterministic gzip member bytes
-            buf.write(gzip.compress(rec, mtime=0))
-            digest.update(rec)
-
-        def ensure_warcinfo() -> None:
-            # lazily open each rolled file with its warcinfo record
-            # (first member, ISO 28500 §6.2) — lazy so an empty
-            # partition emits no file at all
-            if buf.tell() == 0:
-                put(_warcinfo_record(pid, seq))
+        roller = _Roller(the_fs, out_dir, pid, max_archive_bytes)
 
         for pdf in batches:
             for row in pdf.to_dict("records"):
@@ -280,7 +307,7 @@ def write_warc(
                 payload = _http_payload(row)
                 body = bytes(row.get("body") or b"")
                 resp_id = _record_id(url, payload)
-                ensure_warcinfo()
+                roller.ensure_warcinfo()
                 if write_requests and row.get("path_query"):
                     from ..functions.httpproto import gen_request
 
@@ -290,7 +317,7 @@ def write_warc(
                         row.get("hostname") or "",
                         row.get("scheme") or "http", [],
                     )
-                    put(warc_record_bytes(
+                    roller.put(warc_record_bytes(
                         url, _iso(ts), req,
                         warc_type="request",
                         record_id=_record_id(url, req, b"request"),
@@ -299,26 +326,20 @@ def write_warc(
                             ("WARC-Concurrent-To", resp_id),
                         ),
                     ))
-                rec = warc_record_bytes(
-                    url, _iso(ts), payload,
-                    record_id=resp_id,
-                    extra_headers=(
-                        ("WARC-Payload-Digest", _payload_digest(body)),
+                roller.put_indexed(
+                    warc_record_bytes(
+                        url, _iso(ts), payload,
+                        record_id=resp_id,
+                        extra_headers=(
+                            ("WARC-Payload-Digest",
+                             _payload_digest(body)),
+                        ),
                     ),
+                    url, ts, int(row.get("status") or 0),
                 )
-                member = gzip.compress(rec, mtime=0)
-                cdx.append(
-                    (url, ts, int(row.get("status") or 0),
-                     buf.tell(), len(member))
-                )
-                buf.write(member)
-                digest.update(rec)
-                n += 1
-                if buf.tell() >= max_archive_bytes:
-                    flush()
-        flush()
+        roller.flush()
         yield pd.DataFrame(
-            out_rows, columns=["path", "n_records", "n_bytes"]
+            roller.out_rows, columns=["path", "n_records", "n_bytes"]
         )
 
     return results.select(*cols).mapInPandas(
@@ -326,9 +347,80 @@ def write_warc(
     )
 
 
-def _parse_warc(data: bytes):
-    """Yield (url, date, status, http_head, body) per response record
-    from an uncompressed WARC stream."""
+def write_wet(
+    documents: DataFrame,
+    out_dir: str,
+    fs=None,
+    max_archive_bytes: int = 1 << 30,
+) -> DataFrame:
+    """WET sink: the documents table (doc_id, text) out as
+    Common-Crawl-convention text-extraction archives —
+    `part-*.warc.wet.gz` files of `WARC-Type: conversion` records
+    (Content-Type text/plain, UTF-8 payload = the extracted text,
+    WARC-Target-URI = doc_id), one warcinfo record per rolled file,
+    CDXJ sidecars, content-derived record ids. WET is the corpus
+    EXCHANGE format text-only consumers (CCNet-style pipelines,
+    dedup researchers) ingest without HTTP parsing; the same rolling
+    discipline as write_warc bounds executor memory at any partition
+    size. Returns the manifest (path, n_records, n_bytes); an action
+    on it performs the write."""
+    the_fs = fs if fs is not None else fs_for(out_dir)
+    cols = [c for c in ("doc_id", "text") if c in documents.columns]
+
+    def stage(batches: Iterator):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        the_fs.makedirs(out_dir)
+        roller = _Roller(the_fs, out_dir, pid, max_archive_bytes,
+                         suffix=".warc.wet.gz")
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                url = row["doc_id"] or ""
+                text = (row["text"] or "").encode("utf-8")
+                roller.ensure_warcinfo()
+                roller.put_indexed(
+                    warc_record_bytes(
+                        url, _iso(_EPOCH), text,
+                        warc_type="conversion",
+                        content_type="text/plain",
+                    ),
+                    url, _EPOCH, 0,
+                )
+        roller.flush()
+        yield pd.DataFrame(
+            roller.out_rows, columns=["path", "n_records", "n_bytes"]
+        )
+
+    return documents.select(*cols).mapInPandas(
+        stage, "path string, n_records long, n_bytes long"
+    )
+
+
+def read_wet(spark: SparkSession, path: str,
+             batch_records: int = 256, fs=None,
+             chunk_bytes: int = 4 << 20) -> DataFrame:
+    """WET source: a directory of `.warc.wet.gz` files back into the
+    documents-table shape (doc_id, text, n_chars) — the inverse of
+    write_wet, through the same streaming chunked reader. Foreign
+    WET archives (e.g. Common Crawl segments) parse too: any
+    `conversion` record's target URI + text payload lands as a row."""
+    recs = read_warc(spark, path, batch_records=batch_records,
+                     fs=fs, chunk_bytes=chunk_bytes,
+                     suffix=".warc.wet.gz", want_type="conversion")
+    return recs.select(
+        F.col("url").alias("doc_id"),
+        F.decode("body", "utf-8").alias("text"),
+    ).withColumn("n_chars", F.length("text"))
+
+
+def _parse_warc(data: bytes, want_type: str = "response"):
+    """Yield (url, date, status, http_head, body) per record of
+    `want_type` from an uncompressed WARC stream. For "response" the
+    payload splits into HTTP head + body; for "conversion" (WET) the
+    payload is the extracted text itself (status 0, empty head)."""
     pos = 0
     while pos < len(data):
         if data[pos:pos + 5] != b"WARC/":
@@ -345,10 +437,13 @@ def _parse_warc(data: bytes):
         clen = int(headers.get("content-length", "0"))
         payload = data[head_end + 4:head_end + 4 + clen]
         pos = head_end + 4 + clen + 4  # skip the record's CRLFCRLF
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != want_type:
             continue
         url = _cdx_unescape(headers.get("warc-target-uri", ""))
         date = headers.get("warc-date", "")
+        if want_type != "response":
+            yield url, date, 0, b"", payload
+            continue
         http_end = payload.find(b"\r\n\r\n")
         http_head = payload[:http_end] if http_end >= 0 else payload
         body = payload[http_end + 4:] if http_end >= 0 else b""
@@ -396,7 +491,9 @@ def _iter_members(blob: bytes, chunk_size: int = 1 << 20):
 
 def read_warc(spark: SparkSession, path: str,
               batch_records: int = 256, fs=None,
-              chunk_bytes: int = 4 << 20) -> DataFrame:
+              chunk_bytes: int = 4 << 20,
+              suffix: str = ".warc.gz",
+              want_type: str = "response") -> DataFrame:
     """Source: a directory of .warc.gz files (or one file) back into
     (url, warc_date, status, http_head, body, source_file).
     Splitting is per archive file, the standard WARC processing
@@ -415,17 +512,17 @@ def read_warc(spark: SparkSession, path: str,
 
         files = ["%s/%s" % (base, nm) for nm in the_fs.listdir(base)
                  if fnmatch.fnmatch(nm, last)]
-    elif path.endswith(".warc.gz"):
+    elif path.endswith(suffix):
         files = [path]
     else:
         files = ["%s/%s" % (path, nm) for nm in the_fs.listdir(path)
-                 if nm.endswith(".warc.gz")]
+                 if nm.endswith(suffix)]
     if not files:
         # fail loud: listdir returns [] for an absent directory, and
         # an empty DataFrame here would silently turn a typo'd
         # --archive path into an empty corpus downstream
         raise FileNotFoundError(
-            "read_warc: no .warc.gz archives at %r" % path
+            "read_warc: no %s archives at %r" % (suffix, path)
         )
     files_df = spark.createDataFrame(
         [(p,) for p in files], "path string"
@@ -462,7 +559,8 @@ def read_warc(spark: SparkSession, path: str,
         for pdf in batches:
             for fpath in pdf["path"]:
                 for rec in _iter_members_stream(chunks_of(fpath)):
-                    for url, date, status, head, body in _parse_warc(rec):
+                    for url, date, status, head, body in _parse_warc(
+                            rec, want_type):
                         rows.append(
                             (url, date, status, head, body, fpath)
                         )

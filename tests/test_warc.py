@@ -578,3 +578,78 @@ def test_read_warc_missing_path_raises_and_glob_works(
     assert len(got) == 1 and got[0]["status"] == 200
     with pytest.raises(FileNotFoundError):
         read_warc(spark, out + "/*.nomatch.gz")
+
+
+def test_wet_roundtrip_and_interop(spark, tmp_path):
+    """documents -> write_wet -> read_wet round-trips text exactly;
+    the archives are WET-convention: .warc.wet.gz names, one
+    warcinfo first member, conversion records with text/plain
+    payloads and escaped target URIs."""
+    from minicrawler_spark.sources.warc import read_wet, write_wet
+
+    out = str(tmp_path / "wet")
+    docs = spark.createDataFrame(
+        [("http://a.test/p1", "hello wet\nline two"),
+         ("http://b.test/with space", "žluťoučký kůň"),
+         ("http://c.test/p3", "")],
+        "doc_id string, text string",
+    ).coalesce(1)
+    manifest = write_wet(docs, out).collect()
+    assert sum(m["n_records"] for m in manifest) == 3
+    assert all(m["path"].endswith(".warc.wet.gz") for m in manifest)
+
+    got = {r["doc_id"]: (r["text"], r["n_chars"])
+           for r in read_wet(spark, out).collect()}
+    assert got == {
+        "http://a.test/p1": ("hello wet\nline two", 18),
+        "http://b.test/with space": ("žluťoučký kůň", 13),
+        "http://c.test/p3": ("", 0),
+    }
+
+    # raw structure: first member is warcinfo, records are
+    # conversion/text-plain with the URI escaped on the wire
+    blob = gzip.decompress(open(manifest[0]["path"], "rb").read())
+    assert b"WARC-Type: warcinfo" in blob.split(b"\r\n\r\n")[0]
+    assert b"WARC-Type: conversion" in blob
+    assert b"Content-Type: text/plain" in blob
+    assert b"http://b.test/with%20space" in blob
+    assert b"http://b.test/with space" not in blob
+
+    # CDXJ sidecars index every record for ranged access
+    import glob as _glob
+
+    n_indexed = sum(
+        1 for c in _glob.glob(out + "/*.cdxj") for _ in open(c)
+    )
+    assert n_indexed == 3
+
+    # WARC reader in the same dir ignores WET files (and vice versa)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_warc(spark, out)
+
+
+def test_wet_from_archived_crawl(spark, tmp_path):
+    """The full text-exchange chain: crawl -> write_warc ->
+    warc_to_documents -> write_wet -> read_wet == the documents."""
+    from minicrawler_spark.sources.warc import (
+        read_wet,
+        warc_to_documents,
+        write_wet,
+    )
+
+    warc_dir = str(tmp_path / "warc")
+    wet_dir = str(tmp_path / "wet")
+    res = crawl(
+        spark,
+        ["http://host%d.test/page/0" % i for i in range(4)],
+        CrawlSettings(timeout=600, writehead=True),
+    ).filter("outcome = 'done'")
+    write_warc(res, warc_dir).collect()
+    docs = warc_to_documents(spark, warc_dir)
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    write_wet(docs, wet_dir).collect()
+    got = {r["doc_id"]: r["text"]
+           for r in read_wet(spark, wet_dir).collect()}
+    assert got == want and len(got) == 4
