@@ -568,6 +568,51 @@ def q_sample_frames(spark, sf):
     )
 
 
+def q_pii_scrub(spark, sf):
+    """PII scrubbing (operators/textstats.py scrub_pii): emails/IPv4/
+    SSN-shaped ids injected deterministically into every document
+    (closed form in doc_id, replayed by the oracle), then counted
+    and replaced sequentially — the oracle mirrors the sequential
+    semantics with nested CTEs and RE2-compatible patterns."""
+    from minicrawler_spark.operators.textstats import scrub_pii
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"), F.lit(".com via 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"), F.lit(" ref 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ipv4s").cast("long").alias("n_ipv4s"),
+        F.col("n_ids").cast("long").alias("n_ids"),
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/textstats.py
+    decontaminate): the eval needles are substrings of every 50th
+    document (deterministic in both engines), docs containing any
+    needle are flagged via a broadcast substring scan."""
+    from minicrawler_spark.operators.textstats import decontaminate
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.substring("text", 10, 20).alias("needle")
+    )
+    return decontaminate(docs, evals).select(
+        "doc_id", F.col("contaminated")
+    )
+
+
 def q_url_canonicalize(spark, sf):
     """WHATWG canonicalization over synthesized messy URLs. The
     oracle is the closed form of the construction (uppercase scheme/
@@ -651,6 +696,8 @@ QUERIES = {
     "q_pixel_recovery": q_pixel_recovery,
     "q_resize_pixels": q_resize_pixels,
     "q_sample_frames": q_sample_frames,
+    "q_pii_scrub": q_pii_scrub,
+    "q_decontaminate": q_decontaminate,
     "q_url_canonicalize": q_url_canonicalize,
 }
 
@@ -1139,6 +1186,56 @@ ORACLES = {
              sha256(out_hex) as pixel_sha,
              192::BIGINT as pixel_bytes
       from rz
+    """,
+    "q_pii_scrub": """
+      with injected as (
+        select doc_id,
+               text || ' contact user' || doc_id::VARCHAR || '@ex'
+                    || (doc_id % 7)::VARCHAR || '.com via 10.'
+                    || (doc_id % 256)::VARCHAR || '.0.'
+                    || (doc_id % 100)::VARCHAR || ' ref 123-45-'
+                    || lpad((doc_id % 10000)::VARCHAR, 4, '0') as text
+        from documents
+      ), s1 as (
+        select doc_id,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 ::BIGINT as n_emails,
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') as text
+        from injected
+      ), s2 as (
+        select doc_id, n_emails,
+               len(regexp_extract_all(text,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                 ::BIGINT as n_ipv4s,
+               regexp_replace(text,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                 '<IP>', 'g') as text
+        from s1
+      ), s3 as (
+        select doc_id, n_emails, n_ipv4s,
+               len(regexp_extract_all(text,
+                 '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT as n_ids,
+               regexp_replace(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                              '<ID>', 'g') as text
+        from s2
+      )
+      select doc_id, n_emails, n_ipv4s, n_ids,
+             sha256(text) as text_sha
+      from s3
+    """,
+    "q_decontaminate": """
+      with evals as (
+        select distinct substr(text, 10, 20) as needle
+        from documents where doc_id % 50 = 0 and len(substr(text, 10, 20)) > 0
+      )
+      select d.doc_id,
+             exists(select 1 from evals e
+                    where position(e.needle in d.text) > 0)
+               as contaminated
+      from documents d
     """,
     "q_sample_frames": """
       with m as (

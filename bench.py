@@ -183,6 +183,8 @@ def main():
         "q_pixel_recovery",
         "q_resize_pixels",
         "q_sample_frames",
+        "q_pii_scrub",
+        "q_decontaminate",
         "q_url_canonicalize",
         "q_line_dedup",
         "q_pack_sequences",

@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from .dedup import tokenize, _word_ngrams
 
-__all__ = ["STOPWORDS", "token_stats", "quality_score", "lang_guess", "fingerprint", "repetition_stats"]
+__all__ = ["STOPWORDS", "PII_PATTERNS", "token_stats", "quality_score",
+           "lang_guess", "fingerprint", "repetition_stats", "scrub_pii",
+           "decontaminate"]
 
 # tiny per-language stopword lists (shared verbatim with the SQL oracle)
 STOPWORDS = {
@@ -189,4 +191,60 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
                 "top_bigram_frac"
             ),
         )
+    )
+
+
+# PII patterns kept RE2-compatible (no lookarounds, no backrefs) so
+# the Spark (Java regex) and DuckDB (RE2) engines match identically;
+# scrubbing is SEQUENTIAL — each pattern counts and replaces on the
+# output of the previous one, which the SQL oracle mirrors with
+# nested CTEs
+PII_PATTERNS = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4s", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ids", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+)
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing (the redaction pass every public training corpus
+    runs): emails, IPv4 addresses and SSN-shaped ids replaced with
+    typed placeholder tokens, with per-kind match counts kept on the
+    row for audit/filtering. Pure codegen — regexp_extract_all +
+    regexp_replace, no Python — and a narrow map (no shuffle)."""
+    text = F.col("text")
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            .alias("n_" + name)
+        )
+        text = F.regexp_replace(text, pat, rep)
+    return docs.select("doc_id", *counts, text.alias("text"))
+
+
+def decontaminate(docs: DataFrame, evals: DataFrame,
+                  mode: str = "flag") -> DataFrame:
+    """Benchmark decontamination: docs whose text CONTAINS any eval
+    needle (exact substring, the n-gram-overlap baseline every
+    training-data pipeline runs against its eval sets) are flagged
+    (mode='flag': doc_id + contaminated) or dropped (mode='drop':
+    the clean docs). The needle set is broadcast — eval suites are
+    tiny next to a corpus — so the scan stays shuffle-free."""
+    if mode not in ("flag", "drop"):
+        raise ValueError("mode must be flag|drop")
+    needles = F.broadcast(
+        evals.select(F.col("needle")).filter(F.length("needle") > 0)
+        .distinct()
+    )
+    hits = docs.join(
+        needles, F.expr("contains(text, needle)"), "left_semi"
+    ).select("doc_id")
+    if mode == "drop":
+        return docs.join(hits, "doc_id", "left_anti")
+    return docs.select("doc_id").join(
+        hits.withColumn("c", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("c", F.lit(False)).alias("contaminated")
     )

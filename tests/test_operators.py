@@ -1847,3 +1847,44 @@ def test_mp4_truncated_and_forged_ctts_stay_per_row(spark):
     codec, _ts, samples = _mp4_samples(bytes(data))
     assert time.time() - t0 < 5.0  # bounded, not billions of iters
     assert codec == "avc1" and len(samples) == 2
+
+
+def test_scrub_pii_and_decontaminate(spark):
+    """PII scrubbing replaces emails/IPs/SSN-shaped ids with typed
+    tokens and counts each kind (sequentially — an IP inside an
+    already-scrubbed email is not double-counted); decontamination
+    flags/drops docs containing any eval needle via a broadcast
+    substring scan."""
+    from minicrawler_spark.operators.textstats import (
+        decontaminate,
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "mail bob@example.com and 10.1.2.3 plus 123-45-6789"),
+         ("b", "clean text with no pii at all"),
+         ("c", "two mails x@y.io z@w.co one ip 192.168.0.1")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out["a"]["text"] == "mail <EMAIL> and <IP> plus <ID>"
+    assert (out["a"]["n_emails"], out["a"]["n_ipv4s"],
+            out["a"]["n_ids"]) == (1, 1, 1)
+    assert out["b"]["text"] == "clean text with no pii at all"
+    assert (out["b"]["n_emails"], out["b"]["n_ipv4s"],
+            out["b"]["n_ids"]) == (0, 0, 0)
+    assert (out["c"]["n_emails"], out["c"]["n_ipv4s"]) == (2, 1)
+
+    evals = spark.createDataFrame(
+        [("no pii at",), ("",)], "needle string"
+    )
+    flags = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate(docs, evals).collect()}
+    assert flags == {"a": False, "b": True, "c": False}
+    kept = {r["doc_id"]
+            for r in decontaminate(docs, evals, mode="drop").collect()}
+    assert kept == {"a", "c"}
+    # the needle scan broadcasts (eval suites are tiny vs a corpus)
+    plan = decontaminate(docs, evals)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Broadcast" in plan
