@@ -58,15 +58,22 @@ def build_corpus(
     splits=None,
     pack_budget: int = 2048,
     cluster_method: str = "auto",
+    scrub: bool = True,
+    eval_needles: DataFrame = None,
 ) -> dict:
     """Run the corpus chain over a .warc.gz archive directory.
 
     Returns a dict of LAZY DataFrames (caller actions them):
       documents   — archive -> documents-table adapter output
       line_deduped— after corpus-level line dedup (empty docs dropped)
-      survivors   — after exact + near-dup cluster dedup
+      survivors   — after exact + near-dup cluster dedup (and, when
+                    `eval_needles` (one `needle` string column) is
+                    given, benchmark decontamination drops any doc
+                    containing an eval needle)
       filtered    — after quality/repetition gates, with the scores
-      split       — filtered + content-addressed `split` column
+      scrubbed    — filtered text PII-scrubbed (typed placeholder
+                    tokens + per-kind counts; `scrub=False` skips)
+      split       — scrubbed + content-addressed `split` column
       packed      — fixed-token-budget sequences over the train split
 
     Determinism: every keep/drop decision is content-addressed
@@ -117,6 +124,13 @@ def build_corpus(
     ).select("doc_id")
     survivors = exact_kept.join(losers, "doc_id", "left_anti")
 
+    # 3b. benchmark decontamination (optional): drop any doc whose
+    #     text contains an eval needle — broadcast substring scan
+    if eval_needles is not None:
+        from minicrawler_spark.operators.textstats import decontaminate
+
+        survivors = decontaminate(survivors, eval_needles, mode="drop")
+
     # 4. quality + repetition gates (Gopher-style), scores kept on
     #    the rows so downstream mixing can re-cut without re-scoring
     q = quality_score(survivors).select("doc_id", "quality")
@@ -133,8 +147,17 @@ def build_corpus(
         )
     )
 
+    # 4b. PII scrubbing: what ships (and packs) is the redacted
+    #     text; scores above were computed on the raw text
+    if scrub:
+        from minicrawler_spark.operators.textstats import scrub_pii
+
+        scrubbed = scrub_pii(filtered)  # scores pass through
+    else:
+        scrubbed = filtered
+
     # 5. content-addressed split + 6. sequence packing on train
-    split = hash_split(filtered, splits)
+    split = hash_split(scrubbed, splits)
     packed = pack_token_sequences(
         split.filter(F.col("split") == "train").select("doc_id", "text"),
         budget=pack_budget,
@@ -160,6 +183,7 @@ def build_corpus(
         "line_deduped": line_deduped,
         "survivors": survivors,
         "filtered": filtered,
+        "scrubbed": scrubbed,
         "split": split,
         "packed": packed,
         "media": media,
@@ -196,6 +220,15 @@ def parse_args(argv):
     p.add_argument("--train", type=float, default=0.9)
     p.add_argument("--val", type=float, default=0.05)
     p.add_argument("--test", type=float, default=0.05)
+    p.add_argument("--no-scrub", action="store_true",
+                   help="skip PII scrubbing of the shipped text")
+    p.add_argument("--eval-needles", default=None,
+                   help="parquet with a `needle` string column; docs "
+                        "containing any needle are dropped "
+                        "(benchmark decontamination)")
+    p.add_argument("--wet", default=None,
+                   help="also export the corpus text as "
+                        ".warc.wet.gz archives at this directory")
     return p.parse_args(argv)
 
 
@@ -213,6 +246,11 @@ def main(argv=None) -> int:
         splits={"train": args.train, "val": args.val,
                 "test": args.test},
         pack_budget=args.pack_budget,
+        scrub=not args.no_scrub,
+        eval_needles=(
+            spark.read.parquet(args.eval_needles)
+            if args.eval_needles else None
+        ),
     )
     # Materialize the expensive chain ONCE: `split` is `filtered`
     # plus the split column, so write it first and derive the other
@@ -237,13 +275,23 @@ def main(argv=None) -> int:
         name: spark.read.parquet("%s/%s" % (root, name)).count()
         for name in ("filtered", "split", "packed")
     }
+    extra = {}
+    if args.wet:
+        from minicrawler_spark.sources.warc import write_wet
+
+        wet_manifest = write_wet(
+            split_pq.select("doc_id", "text"), args.wet
+        ).collect()
+        extra["wet_files"] = len(wet_manifest)
     split_counts = {
         r["split"]: r["n"]
         for r in split_pq.groupBy("split")
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    print(json.dumps({"rows": summary, "splits": split_counts}))
+    print(json.dumps(
+        {"rows": summary, "splits": split_counts, **extra}
+    ))
     return 0
 
 

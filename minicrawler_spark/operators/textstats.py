@@ -212,7 +212,9 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     runs): emails, IPv4 addresses and SSN-shaped ids replaced with
     typed placeholder tokens, with per-kind match counts kept on the
     row for audit/filtering. Pure codegen — regexp_extract_all +
-    regexp_replace, no Python — and a narrow map (no shuffle)."""
+    regexp_replace, no Python — and a narrow map (no shuffle).
+    Non-text columns pass through unchanged (so score/metadata
+    columns survive without a self-join on the upstream chain)."""
     text = F.col("text")
     counts = []
     for name, pat, rep in PII_PATTERNS:
@@ -221,7 +223,8 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
             .alias("n_" + name)
         )
         text = F.regexp_replace(text, pat, rep)
-    return docs.select("doc_id", *counts, text.alias("text"))
+    others = [c for c in docs.columns if c != "text"]
+    return docs.select(*others, *counts, text.alias("text"))
 
 
 def decontaminate(docs: DataFrame, evals: DataFrame,

@@ -201,20 +201,35 @@ def test_corpus_job_script_mode_and_single_materialization(
     write_warc(raw, out).collect()
 
     corpus = str(tmp_path / "corpus")
+    wet = str(tmp_path / "wet")
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = mod["main"](
             ["--archive", out, "--output", corpus,
-             "--pack-budget", "512"]
+             "--pack-budget", "512", "--wet", wet]
         )
     assert rc == 0
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
-    # split is filtered + the split column; packed sequences cover
-    # the train split's tokens at the budget
+    # split is the (scrubbed) corpus + the split column; packed
+    # sequences cover the train split's tokens at the budget
     assert summary["rows"]["split"] == summary["rows"]["filtered"] > 0
     assert sum(summary["splits"].values()) == summary["rows"]["split"]
     filtered = spark.read.parquet(corpus + "/filtered")
     split = spark.read.parquet(corpus + "/split")
     assert set(split.columns) - set(filtered.columns) == {"split"}
+    # the default chain PII-scrubs before split: audit counts ride
+    # the rows (zero on the PII-free fixture corpus, text unchanged)
+    for c in ("n_emails", "n_ipv4s", "n_ids"):
+        assert c in split.columns
+        assert split.agg(F.sum(c)).collect()[0][0] == 0
     packed = spark.read.parquet(corpus + "/packed")
     assert packed.count() == summary["rows"]["packed"] > 0
+    # --wet exported the corpus text as conversion archives
+    from minicrawler_spark.sources.warc import read_wet
+
+    assert summary["wet_files"] >= 1
+    got_wet = {r["doc_id"]: r["text"]
+               for r in read_wet(spark, wet).collect()}
+    want_wet = {r["doc_id"]: r["text"]
+                for r in split.select("doc_id", "text").collect()}
+    assert got_wet == want_wet
