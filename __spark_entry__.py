@@ -140,6 +140,16 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_pack_assignments(spark, sf):
+    """The doc -> sequence map (packing.py pack_assignments): each
+    document's sequence id and starting token offset inside it —
+    what the training data loader consumes; same two-phase prefix
+    sum, mirrored by the oracle's plain global window."""
+    return PK.pack_assignments(
+        _t(spark, sf, "documents"), budget=2048
+    )
+
+
 def q_hash_split(spark, sf):
     """Deterministic content-addressed train/val/test assignment —
     reproducible across engines/partitionings (no RNG)."""
@@ -668,6 +678,7 @@ QUERIES = {
     "q_dup_clusters_star": q_dup_clusters_star,
     "q_line_dedup": q_line_dedup,
     "q_pack_sequences": q_pack_sequences,
+    "q_pack_assignments": q_pack_assignments,
     "q_hash_split": q_hash_split,
     "q_stratified_sample": q_stratified_sample,
     "q_simhash_pairs": q_simhash_pairs,
@@ -1391,6 +1402,26 @@ ORACLES["q_pack_sequences"] = """
          min(doc_id) as first_doc_id,
          max(doc_id) as last_doc_id
   from c group by 1
+""" % _tokens_sql()
+
+ORACLES["q_pack_assignments"] = """
+  with t as (
+    select doc_id, len(%s) as n_tokens from documents
+  ),
+  c as (
+    select doc_id, n_tokens,
+           sum(n_tokens) over (
+             order by doc_id
+             rows between unbounded preceding and current row
+           ) as cum
+    from t
+  )
+  select doc_id,
+         ((cum - n_tokens) // 2048)::bigint as seq_id,
+         ((cum - n_tokens) - ((cum - n_tokens) // 2048) * 2048)
+           ::bigint as offset_in_seq,
+         n_tokens::bigint as n_tokens
+  from c
 """ % _tokens_sql()
 
 # line-level dedup: same 60-bit md5 line hash, counts across the

@@ -188,6 +188,7 @@ def main():
         "q_url_canonicalize",
         "q_line_dedup",
         "q_pack_sequences",
+        "q_pack_assignments",
         "q_hash_split",
         "q_stratified_sample",
         "q_ip_politeness",

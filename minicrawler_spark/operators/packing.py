@@ -32,15 +32,13 @@ from pyspark.sql import functions as F
 
 from .dedup import tokenize
 
-__all__ = ["pack_token_sequences"]
+__all__ = ["pack_token_sequences", "pack_assignments"]
 
 
-def pack_token_sequences(
-    docs: DataFrame, budget: int = 2048, num_partitions: int = None
-) -> DataFrame:
-    """-> one row per packed sequence: (seq_id, n_docs, total_tokens,
-    first_doc_id, last_doc_id), seq_id = floor(start_offset/budget)
-    over the doc_id-ordered corpus."""
+def _binned(docs: DataFrame, budget: int, num_partitions: int):
+    """Shared two-phase prefix-sum core: every doc with its global
+    starting token offset and sequence bin. Returns columns
+    (doc_id, n_tokens, pid, p_offset, cum, seq_id)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     spark = docs.sparkSession
@@ -85,9 +83,37 @@ def pack_token_sequences(
             ).cast("long"),
         )
     )
-    return binned.groupBy("seq_id").agg(
+    return binned
+
+
+def pack_token_sequences(
+    docs: DataFrame, budget: int = 2048, num_partitions: int = None
+) -> DataFrame:
+    """-> one row per packed sequence: (seq_id, n_docs, total_tokens,
+    first_doc_id, last_doc_id), seq_id = floor(start_offset/budget)
+    over the doc_id-ordered corpus."""
+    return _binned(docs, budget, num_partitions).groupBy("seq_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+def pack_assignments(
+    docs: DataFrame, budget: int = 2048, num_partitions: int = None
+) -> DataFrame:
+    """The doc -> sequence MAP a packer actually materializes for the
+    data loader: (doc_id, seq_id, offset_in_seq, n_tokens), where
+    offset_in_seq is the document's starting token position inside
+    its sequence. Same two-phase prefix sum as the stats view —
+    partitioning-invariant, no global window."""
+    b = _binned(docs, budget, num_partitions)
+    start = F.col("p_offset") + F.col("cum") - F.col("n_tokens")
+    return b.select(
+        "doc_id",
+        "seq_id",
+        (start - F.col("seq_id") * budget).cast("long")
+        .alias("offset_in_seq"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
     )

@@ -1888,3 +1888,44 @@ def test_scrub_pii_and_decontaminate(spark):
     plan = decontaminate(docs, evals)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_pack_assignments_map(spark):
+    """pack_assignments emits the doc -> (seq_id, offset_in_seq)
+    map consistent with pack_token_sequences' bins, conserving
+    tokens, offsets within budget, and partitioning-invariant."""
+    from minicrawler_spark.operators.packing import (
+        pack_assignments,
+        pack_token_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [("d%02d" % i, " ".join("tok%d" % j for j in range(7 + i % 5)))
+         for i in range(40)],
+        "doc_id string, text string",
+    )
+    asg = {r["doc_id"]: r for r in
+           pack_assignments(docs, budget=100).collect()}
+    assert len(asg) == 40
+    # offsets are within the budget and increase by n_tokens in
+    # doc_id order (modulo sequence roll-over)
+    prev_end = 0
+    for i in range(40):
+        r = asg["d%02d" % i]
+        assert 0 <= r["offset_in_seq"] < 100
+        assert r["seq_id"] * 100 + r["offset_in_seq"] == prev_end
+        prev_end += r["n_tokens"]
+    # agrees with the stats view
+    stats = {r["seq_id"]: r for r in
+             pack_token_sequences(docs, budget=100).collect()}
+    from collections import Counter
+
+    per_seq = Counter(r["seq_id"] for r in asg.values())
+    assert {k: v for k, v in per_seq.items()} == {
+        k: s["n_docs"] for k, s in stats.items()}
+    # partitioning-invariance
+    a1 = sorted(map(tuple, pack_assignments(
+        docs.coalesce(1), budget=100).collect()))
+    a2 = sorted(map(tuple, pack_assignments(
+        docs.repartition(16), budget=100).collect()))
+    assert a1 == a2
