@@ -331,6 +331,7 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
     )
     converged = False
+    n_edges = cur.count()  # cheap: the checkpoint is materialized
     for _ in range(max_iter):
         sym = cur.union(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -345,13 +346,16 @@ def dup_clusters(
             .localCheckpoint(eager=True)
         )
         # upd is bounded by the round's node count and shrinks with
-        # the contraction; when it fits (virtually always below
-        # corpus-of-billions scale) broadcast it so the relabel of
-        # the big edge set is map-side — the only shuffle left in a
-        # round is then the groupBy above plus a distinct that
-        # map-side-collapses the relabeled (now few-valued) pairs.
-        # The eager checkpoint makes the count a free lookup.
-        bcast = upd.count() <= 4_000_000
+        # the contraction; when the edge set is big enough for the
+        # relabel shuffle to matter AND upd fits, broadcast it so
+        # the relabel of the big edge set is map-side — the only
+        # shuffle left in a round is then the groupBy above plus a
+        # distinct that map-side-collapses the relabeled pairs.
+        # Small graphs skip the broadcast: per-round broadcast
+        # builds cost more than tiny shuffles and pile up in driver
+        # memory over many rounds (the high-diameter case). The
+        # eager checkpoint makes the count a free lookup.
+        bcast = n_edges >= 100_000 and upd.count() <= 4_000_000
         updj = F.broadcast(upd) if bcast else upd
         labels = labels.join(
             updj.withColumnRenamed("node", "label"), "label", "left"
@@ -379,7 +383,8 @@ def dup_clusters(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        if cur.count() == 0:  # materializes this round's contraction
+        n_edges = cur.count()  # materializes this round's contraction
+        if n_edges == 0:
             converged = True
             break
     changed = 0 if converged else 1
@@ -431,7 +436,10 @@ def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        # EAGER: the first round's min-map job references E twice
+        # (the symmetric union) — lazy here would compute the whole
+        # upstream pair pipeline twice concurrently
+        .localCheckpoint(eager=True)
     )
     # nodes remembered up front: star rounds may drop a node's edges
     # once it is linked through others, but every input node needs a
@@ -442,15 +450,29 @@ def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n_edges = E.count()  # cheap: the checkpoint is materialized
     for _ in range(max_iter):
         # -- large-star: symmetrize, group by u, link larger nbrs to m
         sym = E.select(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).union(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        # the min-maps are bounded by the live node count — on BIG
+        # edge sets broadcast them (size-gated) so the star relabels
+        # are map-side and the only per-round shuffles are the two
+        # groupBys + distincts; small graphs keep plain joins (the
+        # per-round broadcast build costs more than tiny shuffles
+        # and piles up in driver memory over many rounds)
         mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        if n_edges >= 100_000:
+            mins = mins.localCheckpoint(eager=True)
+            minsj = (
+                F.broadcast(mins) if mins.count() <= 4_000_000 else mins
+            )
+        else:
+            minsj = mins
         m = F.least("u", "mv")
         E1 = (
-            sym.join(mins, "u")
+            sym.join(minsj, "u")
             .filter(F.col("v") > F.col("u"))
             .select(m.alias("a"), F.col("v").alias("b"))  # m < u < v
             .filter(F.col("a") != F.col("b"))
@@ -460,8 +482,16 @@ def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         #    all smaller nbrs AND u itself to the min
         sym2 = E1.select(F.col("b").alias("u"), F.col("a").alias("v"))
         mins2 = sym2.groupBy("u").agg(F.min("v").alias("mv"))
+        if n_edges >= 100_000:
+            mins2 = mins2.localCheckpoint(eager=True)
+            mins2j = (
+                F.broadcast(mins2) if mins2.count() <= 4_000_000
+                else mins2
+            )
+        else:
+            mins2j = mins2
         E_new = (
-            sym2.join(mins2, "u")
+            sym2.join(mins2j, "u")
             .select(F.col("mv").alias("a"), F.col("v").alias("b"))
             .union(
                 mins2.select(
@@ -477,12 +507,14 @@ def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         # exact convergence: set equality (both sets are distinct)
+        n_new = E_new.count()
         if (
-            E_new.count() == E.count()
+            n_new == n_edges
             and E_new.exceptAll(E).count() == 0
         ):
             E = E_new
             break
+        n_edges = n_new
         E = E_new
     # final E is a star per component: a = center = min node
     labels = E.select(
