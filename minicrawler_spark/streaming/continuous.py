@@ -92,8 +92,18 @@ def crawl_stream(
     settings: Optional[CrawlSettings] = None,
     fetcher_spec: str = "minicrawler_spark.sources.fixtures:fixture_fetcher",
     trigger_seconds: float = 1.0,
+    archive_dir: Optional[str] = None,
 ):
-    """Start the continuous crawl; returns the StreamingQuery."""
+    """Start the continuous crawl; returns the StreamingQuery.
+
+    `archive_dir`: when given, every micro-batch's done pages are
+    ALSO archived as rolled .warc.gz files there (sources/warc.py
+    write_warc) before bodies are dropped from the parquet results —
+    the streaming twin of the batch crawl->archive pipeline.
+    Idempotent across epoch replays: archive names are
+    (pid, seq, content-digest)-derived, so a re-run of the same
+    batch rewrites identical bytes atomically instead of
+    duplicating records."""
     settings = settings or CrawlSettings()
     catalog = SnapshotCatalog(checkpoint_dir)
     seen_filter = None
@@ -212,6 +222,10 @@ def crawl_stream(
             "href", "host", "hostname", "scheme", "path_query",
             "outcome", "status", "error_msg", "round",
         )
+        if archive_dir is not None:
+            from ..sources.warc import write_warc
+
+            write_warc(done, archive_dir).collect()
         out = finalize_results(
             done.unionByName(err_rows, allowMissingColumns=True)
         ).drop("body", "head", "post")

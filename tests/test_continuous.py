@@ -163,3 +163,47 @@ def test_streaming_restart_resumes_seen(spark, tmp_path):
     urls = [r["url"] for r in res.collect()]
     assert len(urls) == len(set(urls)) == 3  # old URL skipped, new fetched
     assert any("host2.test" in u for u in urls)
+
+
+def test_streaming_archive_sink(spark, tmp_path):
+    """archive_dir: every micro-batch's done pages also land in
+    rolled .warc.gz archives, so the streaming crawl closes the same
+    loop as the batch one — the archived record set matches the
+    parquet results and round-trips into documents."""
+    from minicrawler_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+    )
+
+    frontier = str(tmp_path / "frontier")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    warc = str(tmp_path / "warc")
+
+    write_seeds(frontier,
+                [f"http://host{i}.test/page/{i}" for i in range(3)])
+    q = crawl_stream(
+        spark, frontier, out, ck,
+        CrawlSettings(timeout=600, extract_links=True, dedup=True,
+                      max_depth=1, writehead=True),
+        trigger_seconds=0.5,
+        archive_dir=warc,
+    )
+    try:
+        _wait_stable(spark, out, min_rows=4)
+        res = spark.read.parquet(out)
+        want = {r["url"] for r in
+                res.filter("outcome = 'done'").collect()}
+        got = {r["url"] for r in read_warc(spark, warc).collect()}
+        assert got == want and len(got) >= 4
+        # bodies were archived (the parquet results dropped them)
+        assert "body" not in res.columns
+        one = read_warc(spark, warc).first()
+        assert len(bytes(one["body"])) > 0
+        # archive -> documents adapter works on the streamed archive
+        docs = warc_to_documents(spark, warc)
+        n_html = res.filter(
+            "outcome = 'done' and status = 200").count()
+        assert docs.count() > 0 and docs.count() <= n_html
+    finally:
+        q.stop()
