@@ -252,16 +252,20 @@ def main(argv=None) -> int:
             if args.eval_needles else None
         ),
     )
-    # Materialize the expensive chain ONCE: `split` is `filtered`
-    # plus the split column, so write it first and derive the other
-    # two outputs from the re-read parquet — three independent write
-    # actions would each recompute the minhash/cluster stages from
-    # the archive (3x the dominant cost at corpus scale).
+    # Materialize the expensive chain ONCE: `split` is the final
+    # corpus (scrubbed unless --no-scrub) plus the split column, so
+    # write it first and derive the other two outputs from the
+    # re-read parquet — three independent write actions would each
+    # recompute the minhash/cluster stages from the archive (3x the
+    # dominant cost at corpus scale). The per-doc table ships as
+    # `corpus/` — NOT as `filtered` (build_corpus's "filtered" stage
+    # is the RAW post-gate text; what the CLI ships is the redacted
+    # final corpus with the scrub-audit counts).
     root = args.output.rstrip("/")
     out["split"].write.mode("overwrite").parquet("%s/split" % root)
     split_pq = spark.read.parquet("%s/split" % root)
     split_pq.drop("split").write.mode("overwrite").parquet(
-        "%s/filtered" % root
+        "%s/corpus" % root
     )
     from minicrawler_spark.operators.packing import pack_token_sequences
 
@@ -273,7 +277,7 @@ def main(argv=None) -> int:
     ).write.mode("overwrite").parquet("%s/packed" % root)
     summary = {
         name: spark.read.parquet("%s/%s" % (root, name)).count()
-        for name in ("filtered", "split", "packed")
+        for name in ("corpus", "split", "packed")
     }
     extra = {}
     if args.wet:

@@ -241,13 +241,24 @@ def decontaminate(docs: DataFrame, evals: DataFrame,
         evals.select(F.col("needle")).filter(F.length("needle") > 0)
         .distinct()
     )
-    hits = docs.join(
-        needles, F.expr("contains(text, needle)"), "left_semi"
-    ).select("doc_id")
     if mode == "drop":
-        return docs.join(hits, "doc_id", "left_anti")
-    return docs.select("doc_id").join(
-        hits.withColumn("c", F.lit(True)), "doc_id", "left"
-    ).select(
-        "doc_id", F.coalesce("c", F.lit(False)).alias("contaminated")
+        # ONE scan of docs: broadcast left-anti on the contains
+        # condition — no doc_id shuffle, and the (often expensive)
+        # docs lineage is not referenced twice
+        return docs.join(
+            needles, F.expr("contains(text, needle)"), "left_anti"
+        )
+    # flag mode, also one scan: fold the needle set into a single
+    # broadcast array row and test membership per doc
+    arr = F.broadcast(
+        needles.agg(F.collect_list("needle").alias("needles"))
+    )
+    return docs.crossJoin(arr).select(
+        "doc_id",
+        F.coalesce(
+            F.exists(
+                "needles", lambda n: F.contains(F.col("text"), n)
+            ),
+            F.lit(False),
+        ).alias("contaminated"),
     )

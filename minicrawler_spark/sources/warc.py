@@ -416,11 +416,14 @@ def read_wet(spark: SparkSession, path: str,
     ).withColumn("n_chars", F.length("text"))
 
 
-def _parse_warc(data: bytes, want_type: str = "response"):
+def _parse_warc(data: bytes, want_type: Optional[str] = "response"):
     """Yield (url, date, status, http_head, body) per record of
     `want_type` from an uncompressed WARC stream. For "response" the
     payload splits into HTTP head + body; for "conversion" (WET) the
-    payload is the extracted text itself (status 0, empty head)."""
+    payload is the extracted text itself (status 0, empty head).
+    `want_type=None` accepts any record type (the index-driven
+    ranged reader already selected exactly the records it wants —
+    including WET conversion records — so no type filter applies)."""
     pos = 0
     while pos < len(data):
         if data[pos:pos + 5] != b"WARC/":
@@ -437,11 +440,12 @@ def _parse_warc(data: bytes, want_type: str = "response"):
         clen = int(headers.get("content-length", "0"))
         payload = data[head_end + 4:head_end + 4 + clen]
         pos = head_end + 4 + clen + 4  # skip the record's CRLFCRLF
-        if headers.get("warc-type") != want_type:
+        rtype = headers.get("warc-type")
+        if want_type is not None and rtype != want_type:
             continue
         url = _cdx_unescape(headers.get("warc-target-uri", ""))
         date = headers.get("warc-date", "")
-        if want_type != "response":
+        if rtype != "response":
             yield url, date, 0, b"", payload
             continue
         http_end = payload.find(b"\r\n\r\n")
@@ -651,7 +655,7 @@ def read_warc_records(
                     fpath, int(r["offset"]), int(r["length"])
                 )
                 for url, date, status, head, body in _parse_warc(
-                    gzip.decompress(member)
+                    gzip.decompress(member), want_type=None
                 ):
                     rows.append((url, date, status, head, body, fpath))
             yield pd.DataFrame(

@@ -93,6 +93,7 @@ def crawl_stream(
     fetcher_spec: str = "minicrawler_spark.sources.fixtures:fixture_fetcher",
     trigger_seconds: float = 1.0,
     archive_dir: Optional[str] = None,
+    archive_partitions: int = 8,
 ):
     """Start the continuous crawl; returns the StreamingQuery.
 
@@ -100,10 +101,13 @@ def crawl_stream(
     ALSO archived as rolled .warc.gz files there (sources/warc.py
     write_warc) before bodies are dropped from the parquet results —
     the streaming twin of the batch crawl->archive pipeline.
-    Idempotent across epoch replays: archive names are
-    (pid, seq, content-digest)-derived, so a re-run of the same
-    batch rewrites identical bytes atomically instead of
-    duplicating records."""
+    Idempotent across epoch replays: the batch is deterministically
+    repartitioned (fixed `archive_partitions` count, hash of url)
+    and sorted within partitions before writing, so a replayed
+    epoch — even on a restarted cluster with different parallelism —
+    produces the same per-file record sets, hence the same
+    content-digest-derived file names, and rewrites identical bytes
+    atomically instead of duplicating records."""
     settings = settings or CrawlSettings()
     catalog = SnapshotCatalog(checkpoint_dir)
     seen_filter = None
@@ -225,7 +229,12 @@ def crawl_stream(
         if archive_dir is not None:
             from ..sources.warc import write_warc
 
-            write_warc(done, archive_dir).collect()
+            write_warc(
+                done.repartition(
+                    archive_partitions, F.xxhash64("url")
+                ).sortWithinPartitions("url"),
+                archive_dir,
+            ).collect()
         out = finalize_results(
             done.unionByName(err_rows, allowMissingColumns=True)
         ).drop("body", "head", "post")

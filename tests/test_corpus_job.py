@@ -210,13 +210,13 @@ def test_corpus_job_script_mode_and_single_materialization(
         )
     assert rc == 0
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
-    # split is the (scrubbed) corpus + the split column; packed
+    # split is the (scrubbed) final corpus + the split column; packed
     # sequences cover the train split's tokens at the budget
-    assert summary["rows"]["split"] == summary["rows"]["filtered"] > 0
+    assert summary["rows"]["split"] == summary["rows"]["corpus"] > 0
     assert sum(summary["splits"].values()) == summary["rows"]["split"]
-    filtered = spark.read.parquet(corpus + "/filtered")
+    corpus_pq = spark.read.parquet(corpus + "/corpus")
     split = spark.read.parquet(corpus + "/split")
-    assert set(split.columns) - set(filtered.columns) == {"split"}
+    assert set(split.columns) - set(corpus_pq.columns) == {"split"}
     # the default chain PII-scrubs before split: audit counts ride
     # the rows (zero on the PII-free fixture corpus, text unchanged)
     for c in ("n_emails", "n_ipv4s", "n_ids"):

@@ -653,3 +653,30 @@ def test_wet_from_archived_crawl(spark, tmp_path):
     got = {r["doc_id"]: r["text"]
            for r in read_wet(spark, wet_dir).collect()}
     assert got == want and len(got) == 4
+
+
+def test_wet_indexed_ranged_reads(spark, tmp_path):
+    """The CDXJ sidecars write_wet produces drive selective ranged
+    reads too: read_warc_records must yield the selected CONVERSION
+    records (the type filter is the reader's, not the index's)."""
+    from minicrawler_spark.sources.warc import (
+        read_warc_records,
+        write_wet,
+    )
+
+    out = str(tmp_path / "wet")
+    docs = spark.createDataFrame(
+        [("http://a.test/p%d" % i, "text number %d" % i)
+         for i in range(6)],
+        "doc_id string, text string",
+    ).coalesce(1)
+    write_wet(docs, out).collect()
+    from pyspark.sql import functions as F
+
+    got = read_warc_records(
+        spark, out, selector=F.col("url").endswith("p3")
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["url"] == "http://a.test/p3"
+    assert bytes(got[0]["body"]) == b"text number 3"
+    assert got[0]["status"] == 0  # conversion records carry no HTTP
