@@ -578,6 +578,14 @@ def q_sample_frames(spark, sf):
     )
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary stats (textstats.py vocab_stats): top-k
+    tokens by occurrence count with document frequency — the
+    tokenizer-training front-end; deterministic tie-break makes the
+    cut identical in both engines."""
+    return T.vocab_stats(_t(spark, sf, "documents"), top_k=500)
+
+
 def q_pii_scrub(spark, sf):
     """PII scrubbing (operators/textstats.py scrub_pii): emails/IPv4/
     SSN-shaped ids injected deterministically into every document
@@ -709,6 +717,7 @@ QUERIES = {
     "q_sample_frames": q_sample_frames,
     "q_pii_scrub": q_pii_scrub,
     "q_decontaminate": q_decontaminate,
+    "q_vocab_topk": q_vocab_topk,
     "q_url_canonicalize": q_url_canonicalize,
 }
 
@@ -1198,6 +1207,17 @@ ORACLES = {
              192::BIGINT as pixel_bytes
       from rz
     """,
+    "q_vocab_topk": """
+      select t as token,
+             count(*)::BIGINT as n_occurrences,
+             count(distinct doc_id)::BIGINT as doc_freq
+      from (
+        select doc_id, unnest(%s) as t from documents
+      )
+      group by t
+      order by n_occurrences desc, token asc
+      limit 500
+    """ % _tokens_sql(),
     "q_pii_scrub": """
       with injected as (
         select doc_id,

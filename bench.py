@@ -185,6 +185,7 @@ def main():
         "q_sample_frames",
         "q_pii_scrub",
         "q_decontaminate",
+        "q_vocab_topk",
         "q_url_canonicalize",
         "q_line_dedup",
         "q_pack_sequences",

@@ -12,7 +12,7 @@ from .dedup import tokenize, _word_ngrams
 
 __all__ = ["STOPWORDS", "PII_PATTERNS", "token_stats", "quality_score",
            "lang_guess", "fingerprint", "repetition_stats", "scrub_pii",
-           "decontaminate"]
+           "decontaminate", "vocab_stats"]
 
 # tiny per-language stopword lists (shared verbatim with the SQL oracle)
 STOPWORDS = {
@@ -262,3 +262,25 @@ def decontaminate(docs: DataFrame, evals: DataFrame,
             F.lit(False),
         ).alias("contaminated"),
     )
+
+
+def vocab_stats(docs: DataFrame, top_k: int = 1000) -> DataFrame:
+    """Corpus vocabulary statistics — the first artifact a tokenizer
+    training run needs: per token, total occurrences and document
+    frequency, top_k by occurrence count. The tie-break (count desc,
+    token asc) makes the top-k cut deterministic and cross-engine
+    reproducible; orderBy+limit compiles to TakeOrderedAndProject
+    (a per-partition heap + driver merge of k rows), never a global
+    sort of the vocabulary."""
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return agg.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(top_k)

@@ -1929,3 +1929,28 @@ def test_pack_assignments_map(spark):
     a2 = sorted(map(tuple, pack_assignments(
         docs.repartition(16), budget=100).collect()))
     assert a1 == a2
+
+
+def test_vocab_stats_topk(spark):
+    """vocab_stats: counts are exact per token, doc_freq counts
+    distinct docs, the top-k cut is deterministic under the
+    (count desc, token asc) tie-break, and the plan takes the
+    TakeOrderedAndProject path (per-partition heap, never a full
+    vocabulary sort)."""
+    from minicrawler_spark.operators.textstats import vocab_stats
+
+    d = spark.createDataFrame(
+        [("a", "x x y z"), ("b", "x y"), ("c", "z  z")],
+        "doc_id string, text string",
+    )
+    rows = [(r["token"], r["n_occurrences"], r["doc_freq"])
+            for r in vocab_stats(d, top_k=10).collect()]
+    assert rows == [("x", 3, 2), ("z", 3, 2), ("y", 2, 2)]
+    # tie-break decides the cut when k splits an equal-count group
+    assert [r[0] for r in vocab_stats(d, top_k=1).collect()] == ["x"]
+    assert [r[0] for r in vocab_stats(d, top_k=2).collect()] == ["x", "z"]
+    plan = vocab_stats(d, top_k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        vocab_stats(d, top_k=0)
