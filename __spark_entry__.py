@@ -23,6 +23,7 @@ from minicrawler_spark.operators import similarity as S
 from minicrawler_spark.operators import packing as PK
 from minicrawler_spark.operators import sampling as SM
 from minicrawler_spark.operators import textstats as T
+from minicrawler_spark.operators import bpe as B
 from minicrawler_spark.operators.dedup import _P, _perm_coeffs
 from minicrawler_spark.operators.textstats import STOPWORDS
 from minicrawler_spark.operators.similarity import plane_component
@@ -586,6 +587,23 @@ def q_vocab_topk(spark, sf):
     return T.vocab_stats(_t(spark, sf, "documents"), top_k=500)
 
 
+def q_tfidf_top(spark, sf):
+    """Per-document TF-IDF keywords (textstats.tfidf_top_terms):
+    smoothed sklearn idf, per-doc row_number window cut with a
+    deterministic (tfidf desc, token asc) tie-break."""
+    return T.tfidf_top_terms(_t(spark, sf, "documents"), top_k=3)
+
+
+def q_bpe_merges(spark, sf):
+    """BPE tokenizer training (operators/bpe.py): distributed word
+    count front-end, bounded driver merge loop — iterative, so no
+    SQL oracle; correctness is pinned by the pytest differential
+    (incremental == naive trainer, 200-trial fuzz) and the
+    determinism/roundtrip invariants."""
+    return B.train_bpe(_t(spark, sf, "documents"),
+                       n_merges=64, max_words=10_000)
+
+
 def q_pii_scrub(spark, sf):
     """PII scrubbing (operators/textstats.py scrub_pii): emails/IPv4/
     SSN-shaped ids injected deterministically into every document
@@ -718,6 +736,8 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_decontaminate": q_decontaminate,
     "q_vocab_topk": q_vocab_topk,
+    "q_tfidf_top": q_tfidf_top,
+    "q_bpe_merges": q_bpe_merges,
     "q_url_canonicalize": q_url_canonicalize,
 }
 
@@ -1217,6 +1237,33 @@ ORACLES = {
       group by t
       order by n_occurrences desc, token asc
       limit 500
+    """ % _tokens_sql(),
+    "q_tfidf_top": """
+      with toks as (
+        select doc_id, unnest(%s) as token from documents
+      ),
+      tf as (
+        select doc_id, token, count(*)::BIGINT as tf
+        from toks group by doc_id, token
+      ),
+      dfq as (
+        select token, count(distinct doc_id)::BIGINT as doc_freq
+        from toks group by token
+      ),
+      nd as (select count(distinct doc_id) as n_docs from documents),
+      scored as (
+        select tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+               tf.tf * (ln((nd.n_docs + 1.0) / (dfq.doc_freq + 1.0))
+                        + 1.0) as tfidf
+        from tf join dfq using (token) cross join nd
+      ),
+      rk as (
+        select *, row_number() over (
+          partition by doc_id order by tfidf desc, token asc) as rk
+        from scored
+      )
+      select doc_id, token, tf, doc_freq, tfidf
+      from rk where rk <= 3
     """ % _tokens_sql(),
     "q_pii_scrub": """
       with injected as (

@@ -186,6 +186,8 @@ def main():
         "q_pii_scrub",
         "q_decontaminate",
         "q_vocab_topk",
+        "q_tfidf_top",
+        "q_bpe_merges",
         "q_url_canonicalize",
         "q_line_dedup",
         "q_pack_sequences",

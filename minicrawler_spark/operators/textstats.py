@@ -12,7 +12,7 @@ from .dedup import tokenize, _word_ngrams
 
 __all__ = ["STOPWORDS", "PII_PATTERNS", "token_stats", "quality_score",
            "lang_guess", "fingerprint", "repetition_stats", "scrub_pii",
-           "decontaminate", "vocab_stats"]
+           "decontaminate", "vocab_stats", "tfidf_top_terms"]
 
 # tiny per-language stopword lists (shared verbatim with the SQL oracle)
 STOPWORDS = {
@@ -284,3 +284,51 @@ def vocab_stats(docs: DataFrame, top_k: int = 1000) -> DataFrame:
     return agg.orderBy(
         F.desc("n_occurrences"), F.asc("token")
     ).limit(top_k)
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
+    """Per-document TF-IDF keywords: for each doc the top_k tokens
+    by tf * idf with idf = ln((N + 1) / (doc_freq + 1)) + 1 (the
+    smoothed scikit-learn formulation — never divides by zero, and
+    corpus-wide terms still score > 0). Returns (doc_id, token, tf,
+    doc_freq, tfidf).
+
+    Plan shape at scale: one corpus shuffle for (doc, token) tf, one
+    bounded shuffle for doc_freq (distinct tokens), then the top-k
+    cut as a row_number window partitioned BY DOCUMENT — thousands
+    of small per-doc heaps spread across the cluster, never a global
+    sort. N is a scalar crossJoin broadcast, not a collect-per-row.
+    The (tfidf desc, token asc) tie-break makes the cut exact
+    cross-engine; tf and doc_freq are integers and idf a pure
+    function of them, so the doubles are bit-identical in any IEEE
+    engine and hash-exact under the gate's 6dp rounding."""
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = docs.select(
+        F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (
+                F.log((F.col("n_docs") + F.lit(1.0)) /
+                      (F.col("doc_freq") + F.lit(1.0))) + F.lit(1.0)
+            ),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", "token", "tf", "doc_freq", "tfidf")
+    )

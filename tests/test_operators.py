@@ -1954,3 +1954,113 @@ def test_vocab_stats_topk(spark):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError):
         vocab_stats(d, top_k=0)
+
+
+def test_bpe_trainer_incremental_matches_naive():
+    """The incremental trainer (inverted pair->word map, touched
+    words only) must match a from-scratch rescan-per-merge reference
+    on random corpora — same merges, same order, same tie-breaks."""
+    import random
+
+    from minicrawler_spark.operators.bpe import _train_on_counts
+
+    def naive(counts, n_merges):
+        words = [(list(w), n) for w, n in counts if w]
+        merges = []
+        for _ in range(n_merges):
+            pc = {}
+            for syms, n in words:
+                for p in zip(syms, syms[1:]):
+                    pc[p] = pc.get(p, 0) + n
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            m = best[0] + best[1]
+            nw = []
+            for syms, n in words:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == best[0]
+                            and syms[i + 1] == best[1]):
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nw.append((out, n))
+            words = nw
+        return merges
+
+    rng = random.Random(7)
+    for _ in range(80):
+        vocab = {''.join(rng.choice('abcd')
+                         for _ in range(rng.randint(1, 6)))
+                 for _ in range(rng.randint(1, 12))}
+        counts = sorted(((w, rng.randint(1, 9)) for w in vocab),
+                        key=lambda t: (-t[1], t[0]))
+        k = rng.randint(1, 10)
+        assert _train_on_counts(list(counts), k) == naive(list(counts), k)
+
+
+def test_bpe_train_encode_spark(spark):
+    """End-to-end BPE on the classic corpus: the learned merges match
+    the textbook sequence under the (count desc, pair asc) tie-break;
+    encoding reproduces each word by concatenation, honors merge
+    ranks, and is partitioning-invariant."""
+    from minicrawler_spark.operators.bpe import encode_bpe, train_bpe
+
+    rows = [("d%d" % i, w) for i, w in enumerate(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    merges = train_bpe(docs, n_merges=6, max_words=100)
+    got = [(r["left"], r["right"]) for r in
+           merges.orderBy("rank").collect()]
+    assert got == [("e", "s"), ("es", "t"), ("l", "o"),
+                   ("lo", "w"), ("e", "w"), ("ew", "est")]
+
+    enc = {r["doc_id"]: r for r in encode_bpe(docs, merges).collect()}
+    for doc_id, word in rows:
+        assert "".join(enc[doc_id]["pieces"]) == word
+        assert enc[doc_id]["n_pieces"] == len(enc[doc_id]["pieces"])
+    assert enc["d0"]["pieces"] == ["low"]          # low: l+o, lo+w
+    # newest: e+s, es+t, e+w, then the rank-5 ew+est merge
+    assert enc["d7"]["pieces"] == ["n", "ewest"]
+
+    # unseen word: only applicable merges fire
+    unseen = spark.createDataFrame(
+        [("u", "stew")], "doc_id string, text string")
+    out = encode_bpe(unseen, merges).collect()[0]
+    assert "".join(out["pieces"]) == "stew"
+
+    # partitioning-invariance of training (driver loop is fed a
+    # re-sorted bounded table, so shuffle order must not matter)
+    m2 = train_bpe(docs.repartition(16), n_merges=6, max_words=100)
+    assert [(r["left"], r["right"]) for r in
+            m2.orderBy("rank").collect()] == got
+
+
+def test_tfidf_top_terms_known_values(spark):
+    """TF-IDF against hand-computed values with the smoothed sklearn
+    idf, and the deterministic per-doc top-k cut."""
+    import math
+
+    from minicrawler_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("a", "cat cat dog"), ("b", "dog fish"), ("c", "fish fish")],
+        "doc_id string, text string",
+    )
+    out = {(r["doc_id"], r["token"]): r
+           for r in tfidf_top_terms(docs, top_k=2).collect()}
+    idf = lambda df_: math.log(4.0 / (df_ + 1.0)) + 1.0
+    r = out[("a", "cat")]
+    assert (r["tf"], r["doc_freq"]) == (2, 1)
+    assert abs(r["tfidf"] - 2 * idf(1)) < 1e-12
+    r = out[("a", "dog")]
+    assert abs(r["tfidf"] - 1 * idf(2)) < 1e-12
+    # doc c has a single distinct token -> one row only
+    assert sum(1 for k in out if k[0] == "c") == 1
+    assert abs(out[("c", "fish")]["tfidf"] - 2 * idf(2)) < 1e-12
+    with pytest.raises(ValueError):
+        tfidf_top_terms(docs, top_k=0)
