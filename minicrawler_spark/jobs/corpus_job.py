@@ -204,6 +204,25 @@ def build_corpus(
     }
 
 
+def train_corpus_tokenizer(split_df: DataFrame, *,
+                           n_merges: int = 1000,
+                           max_words: int = 100_000):
+    """Tokenizer stage over a MATERIALIZED split table (the parquet
+    build_corpus's caller wrote): train BPE merges on the train
+    split and encode it. Returns (merges_df, encoded_df).
+
+    Kept out of build_corpus on purpose — train_bpe collects the
+    bounded word-count table eagerly, and doing that against the
+    lazy chain would recompute the minhash/cluster stages; feeding
+    it the re-read split parquet trains from a one-pass scan."""
+    from minicrawler_spark.operators.bpe import encode_bpe, train_bpe
+
+    train = split_df.filter(F.col("split") == "train").select(
+        "doc_id", "text")
+    merges = train_bpe(train, n_merges=n_merges, max_words=max_words)
+    return merges, encode_bpe(train, merges)
+
+
 def parse_args(argv):
     p = argparse.ArgumentParser(
         description="minicrawler-spark corpus build"
@@ -226,6 +245,11 @@ def parse_args(argv):
                    help="parquet with a `needle` string column; docs "
                         "containing any needle are dropped "
                         "(benchmark decontamination)")
+    p.add_argument("--bpe-merges", type=int, default=0,
+                   help="train a BPE tokenizer on the train split "
+                        "(N merges; 0 = off) and write the merge "
+                        "table + encoded pieces")
+    p.add_argument("--bpe-max-words", type=int, default=100_000)
     p.add_argument("--wet", default=None,
                    help="also export the corpus text as "
                         ".warc.wet.gz archives at this directory")
@@ -280,6 +304,18 @@ def main(argv=None) -> int:
         for name in ("corpus", "split", "packed")
     }
     extra = {}
+    if args.bpe_merges > 0:
+        merges, encoded = train_corpus_tokenizer(
+            split_pq, n_merges=args.bpe_merges,
+            max_words=args.bpe_max_words,
+        )
+        merges.write.mode("overwrite").parquet(
+            "%s/tokenizer_merges" % root)
+        encoded.write.mode("overwrite").parquet("%s/encoded" % root)
+        extra["bpe_merges"] = spark.read.parquet(
+            "%s/tokenizer_merges" % root).count()
+        extra["encoded_docs"] = spark.read.parquet(
+            "%s/encoded" % root).count()
     if args.wet:
         from minicrawler_spark.sources.warc import write_wet
 

@@ -309,8 +309,11 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").alias("tf"))
-    dfreq = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("doc_freq"))
+    # doc_freq from the tf aggregate, not a second corpus explode:
+    # tf rows are already distinct (doc, token), so a plain count per
+    # token IS the document frequency — one pass over the corpus.
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").alias("doc_freq"))
     n_docs = docs.select(
         F.countDistinct("doc_id").alias("n_docs"))
     scored = (

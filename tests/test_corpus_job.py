@@ -206,7 +206,8 @@ def test_corpus_job_script_mode_and_single_materialization(
     with redirect_stdout(buf):
         rc = mod["main"](
             ["--archive", out, "--output", corpus,
-             "--pack-budget", "512", "--wet", wet]
+             "--pack-budget", "512", "--wet", wet,
+             "--bpe-merges", "32"]
         )
     assert rc == 0
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
@@ -233,3 +234,15 @@ def test_corpus_job_script_mode_and_single_materialization(
     want_wet = {r["doc_id"]: r["text"]
                 for r in split.select("doc_id", "text").collect()}
     assert got_wet == want_wet
+    # --bpe-merges: tokenizer trained on the train split, encoded
+    # pieces reproduce each doc's lowercased token stream
+    merges = spark.read.parquet(corpus + "/tokenizer_merges")
+    assert merges.count() == summary["bpe_merges"] == 32
+    encoded = spark.read.parquet(corpus + "/encoded")
+    n_train = split.filter("split = 'train'").count()
+    assert encoded.count() == summary["encoded_docs"] == n_train
+    sample = encoded.limit(5).collect()
+    texts = {r["doc_id"]: r["text"] for r in split.collect()}
+    for r in sample:
+        want = "".join(texts[r["doc_id"]].lower().split())
+        assert "".join(r["pieces"]) == want

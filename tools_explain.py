@@ -167,15 +167,19 @@ def main():
         f.write(
             "\nInvariants: row-Python == 0 everywhere (all Python is "
             "Arrow-batched); CartesianProduct == 0 everywhere. "
-            "BroadcastNestedLoopJoin appears in exactly two INTENDED "
-            "places: q_ann_topk, the brute-force baseline (5 query "
-            "vectors broadcast against a single scan of the vector "
-            "table; the non-equi <> predicate makes it a cross join "
-            "by design — the scale path is q_ann_lsh's bucket "
-            "equi-join), and q_ann_ivf's centroid-assignment step "
-            "(16 broadcast centroids crossed against the vectors to "
-            "pick each vector's nearest list — a bounded, "
-            "broadcast-small cross, not a data×data join).\n"
+            "BroadcastNestedLoopJoin appears ONLY where the "
+            "broadcast side is bounded by construction, never "
+            "data×data: q_ann_topk, the brute-force baseline (5 "
+            "query vectors broadcast against a single scan of the "
+            "vector table; the non-equi <> predicate makes it a "
+            "cross join by design — the scale path is q_ann_lsh's "
+            "bucket equi-join); q_ann_ivf's centroid-assignment "
+            "step (16 broadcast centroids crossed against the "
+            "vectors to pick each vector's nearest list); "
+            "q_decontaminate's needle scan (the eval suite — a few "
+            "thousand strings at most — broadcast against the "
+            "corpus); and q_tfidf_top's scalar N (a literal 1-row "
+            "count broadcast into the scoring expression).\n"
         )
         f.write(
             "\nCrawl fetch pipeline (crawl_fetch_stage row): one "
