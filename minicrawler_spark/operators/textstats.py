@@ -309,9 +309,16 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").alias("tf"))
-    # doc_freq from the tf aggregate, not a second corpus explode:
-    # tf rows are already distinct (doc, token), so a plain count per
-    # token IS the document frequency — one pass over the corpus.
+    # doc_freq from the tf aggregate, not a countDistinct over the
+    # raw explode: tf rows are already distinct (doc, token), so a
+    # plain count per token IS the document frequency, and the second
+    # shuffle moves the compact tf table, not per-occurrence rows.
+    # The explode subtree still EXECUTES twice (the two aggregates
+    # prune different columns, so their exchanges don't canonicalize
+    # equal and ReuseExchange cannot fire); at corpus scale,
+    # materialize tf (checkpoint/parquet) between the passes — a
+    # token-partitioned WINDOW would be single-pass but puts every
+    # occurrence of a stopword token in one task, a skew killer.
     dfreq = tf.groupBy("token").agg(
         F.count("*").alias("doc_freq"))
     n_docs = docs.select(
