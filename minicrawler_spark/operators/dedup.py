@@ -143,20 +143,56 @@ def minhash_dup_pairs(
     )
     # Candidate generation runs entirely on 64-bit keys: the banded
     # bucket is one xxhash64 over (band, row minhashes) and documents
-    # are their xxhash64(doc_id) — the self-join shuffle and the
-    # pair-distinct move longs, not strings (the pair table is ~1000x
-    # the doc table on this corpus, so its row width is what matters).
-    # String ids re-attach at the very end via a broadcast map.
-    band_cols = [
+    # are their xxhash64(doc_id) — the self-join shuffle moves longs,
+    # not strings (the pair table is ~1000x the doc table on this
+    # corpus, so its row width is what matters). String ids re-attach
+    # at the very end via a broadcast map.
+    #
+    # EMIT-ONCE dedup (r6): similar docs agree on MANY bands, so the
+    # bucket self-join emits each pair up to `bands` times (measured
+    # 41.9M join rows -> 11.3M distinct pairs at sf0.1) and the old
+    # `.distinct()` re-shuffled the whole join output — the single
+    # most expensive exchange of the pipeline (16.7s of the 20s
+    # query). Instead every bucket row carries the doc's full 8-key
+    # band vector and a pair is kept ONLY from the first band whose
+    # keys agree: a map-side filter right behind the join, zero
+    # shuffle, and by construction exactly DISTINCT over the same
+    # bkey-equality the join (and the SQL oracle's banded union)
+    # uses. Cost shift: the bucket rows widen from 2 to 10 longs,
+    # but the bucket table is n_docs*bands rows — orders of
+    # magnitude smaller than the candidate-pair table whose shuffle
+    # this removes.
+    bk = [
         F.xxhash64(
             F.lit(b), *[F.col("mh%d" % (b * r + i)) for i in range(r)]
-        )
+        ).alias("bk%d" % b)
         for b in range(bands)
     ]
-    buckets = sigs.select(
-        F.xxhash64("doc_id").alias("hid"),
-        F.explode(F.array(*band_cols)).alias("bkey"),
+    keyed = sigs.select(F.xxhash64("doc_id").alias("hid"), *bk)
+    # Partition-count discipline: the bucket table is tiny in BYTES
+    # (n_docs * bands rows of longs) but its self-join OUTPUT is the
+    # candidate-pair explosion — AQE's byte-based coalescing would
+    # collapse the join to one partition and serialize the explosion
+    # plus everything fused behind it. Pin the join's parallelism
+    # with an explicit hash repartition at the session's shuffle
+    # parallelism (the scale knob; never a literal core count).
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    buckets = keyed.select(
+        "hid",
+        *["bk%d" % b for b in range(bands)],
+        F.posexplode(
+            F.array(*[F.col("bk%d" % b) for b in range(bands)])
+        ).alias("band", "bkey"),
+    ).repartition(n_part, "bkey")
+    first_agree = F.when(
+        F.col("l.bk0") == F.col("r.bk0"), F.lit(0)
+    )
+    for b in range(1, bands):
+        first_agree = first_agree.when(
+            F.col("l.bk%d" % b) == F.col("r.bk%d" % b), F.lit(b)
+        )
     pairs = (
         buckets.alias("l")
         .join(
@@ -164,10 +200,22 @@ def minhash_dup_pairs(
             (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.hid") < F.col("r.hid")),
         )
+        .filter(
+            (F.col("l.band") == F.col("r.band"))
+            & (first_agree == F.col("l.band"))
+        )
         .select(
             F.col("l.hid").alias("hid_a"), F.col("r.hid").alias("hid_b")
         )
-        .distinct()
+        # Re-balance the deduped pair set before verification: the
+        # join leaves pairs clustered by band bucket (hot buckets =
+        # hot partitions, and verification cost is per-PAIR CPU that
+        # AQE's byte-based view cannot see). One shuffle of the slim
+        # (hid_a, hid_b) rows — ~4x fewer rows and no agg hash map
+        # vs the old distinct — spreads the intersect work evenly;
+        # the key is the pair itself, so the spread is deterministic
+        # and fine-grained.
+        .repartition(n_part, "hid_a", "hid_b")
     )
     # Exact verification at candidate scale: tokens are compared as
     # xxhash64 longs, not strings (|A∩B|/|A∪B| is unchanged: 64-bit
@@ -233,9 +281,20 @@ def minhash_dup_pairs(
         # token side, never sort the array payloads
         ha, hb = ha.hint("shuffle_hash"), hb.hint("shuffle_hash")
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    # Size-ratio prefilter (SSJoin/PPJoin length bound): jaccard =
+    # I/(n_a+n_b-I) <= min/max, so jaccard >= t forces
+    # min >= t * max and the intersect can be skipped for pairs that
+    # fail it (3.7M of 11.3M candidates pass at t=0.9 on sf0.1). The
+    # 1e-6 margin covers the 6dp rounding of the jaccard the final
+    # filter sees (round can lift a true jaccard by at most 5e-7), so
+    # no pair the unfiltered pipeline keeps is ever dropped.
+    ratio_ok = F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(
+        max(threshold - 1e-6, 0.0)
+    )
     verified = (
         pairs.join(ha, "hid_a")
         .join(hb, "hid_b")
+        .filter(ratio_ok)
         .withColumn("inter", inter)
         .withColumn(
             "jaccard",
