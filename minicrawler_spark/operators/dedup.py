@@ -378,61 +378,72 @@ def dup_clusters(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # EAGER: round 1's first job references cur twice (the
-        # symmetric union), so a lazy checkpoint here would compute
-        # the whole upstream pair pipeline twice concurrently
-        .localCheckpoint(eager=True)
+        # lazy checkpoint + immediate count: the count is the single
+        # first reference, so it materializes the checkpoint in ONE
+        # job (eager + count was two); every later consumer — round
+        # 1's symmetric union included — reads the materialized
+        # checkpoint (the round-3 single-reference discipline)
+        .localCheckpoint(eager=False)
     )
+    n_edges = cur.count()  # materializes the checkpoint
     labels = (
         cur.select(F.col("a").alias("node"))
         .union(cur.select(F.col("b").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Broadcast gate decided ONCE up front (r6): upd is bounded by
+    # the live node count, which only shrinks under contraction, so
+    # one node count here replaces a count job per round. The gate is
+    # BYTES-based (ADVICE r5): a two-long row is ~32 B framed, so the
+    # 32 MB budget stays near broadcast-join scale instead of the old
+    # 4M-row gate's hundreds of MB of driver memory per round.
+    # Small graphs skip the broadcast entirely: per-round broadcast
+    # builds cost more than tiny shuffles and pile up in driver
+    # memory over many rounds (the high-diameter case).
+    n_nodes = labels.count()
+    use_bcast = n_edges >= 100_000 and n_nodes * 32 <= (32 << 20)
     converged = False
-    n_edges = cur.count()  # cheap: the checkpoint is materialized
     for _ in range(max_iter):
         sym = cur.union(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        # eager: the contraction below references upd twice (one
-        # side per endpoint) — the round-3 single-reference
-        # discipline for lazy checkpoints
         upd = (
             sym.groupBy(F.col("a").alias("node"))
             .agg(F.min("b").alias("m"))
             .filter(F.col("m") < F.col("node"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # upd is bounded by the round's node count and shrinks with
-        # the contraction; when the edge set is big enough for the
-        # relabel shuffle to matter AND upd fits, broadcast it so
-        # the relabel of the big edge set is map-side — the only
-        # shuffle left in a round is then the groupBy above plus a
-        # distinct that map-side-collapses the relabeled pairs.
-        # Small graphs skip the broadcast: per-round broadcast
-        # builds cost more than tiny shuffles and pile up in driver
-        # memory over many rounds (the high-diameter case). The
-        # eager checkpoint makes the count a free lookup.
-        bcast = n_edges >= 100_000 and upd.count() <= 4_000_000
-        updj = F.broadcast(upd) if bcast else upd
-        labels = labels.join(
-            updj.withColumnRenamed("node", "label"), "label", "left"
-        ).select("node", F.coalesce("m", "label").alias("label"))
+        # ONE broadcast of upd per round, referenced three times
+        # (labels + both edge endpoints) through the SAME plan so the
+        # BroadcastExchange canonicalizes equal and ReuseExchange
+        # builds it once; the relabel of the big edge set is then
+        # map-side and the only shuffles left in a round are the
+        # groupBy above plus the distinct that collapses relabeled
+        # pairs. The round's single driver action is the edge count
+        # below (the old loop paid an extra count + three broadcast
+        # builds per round).
+        if use_bcast:
+            updj = F.broadcast(upd)
+        else:
+            # big-remainder path: materialize before the triple
+            # reference so the checkpoint is not raced
+            upd.count()
+            updj = upd
+        ua, ub, ul = updj.alias("ua"), updj.alias("ub"), updj.alias("ul")
+        labels = labels.alias("lb").join(
+            ul, F.col("lb.label") == F.col("ul.node"), "left"
+        ).select(
+            F.col("lb.node").alias("node"),
+            F.coalesce(F.col("ul.m"), F.col("lb.label")).alias("label"),
+        )
         cur = (
-            cur.join(
-                updj.select(F.col("node").alias("a"),
-                            F.col("m").alias("ma")),
-                "a", "left",
-            )
-            .join(
-                updj.select(F.col("node").alias("b"),
-                            F.col("m").alias("mb")),
-                "b", "left",
-            )
+            cur.alias("ce")
+            .join(ua, F.col("ce.a") == F.col("ua.node"), "left")
+            .join(ub, F.col("ce.b") == F.col("ub.node"), "left")
             .select(
-                F.coalesce("ma", F.col("a")).alias("x"),
-                F.coalesce("mb", F.col("b")).alias("y"),
+                F.coalesce(F.col("ua.m"), F.col("ce.a")).alias("x"),
+                F.coalesce(F.col("ub.m"), F.col("ce.b")).alias("y"),
             )
             .filter(F.col("x") != F.col("y"))
             .select(
@@ -495,11 +506,12 @@ def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        # EAGER: the first round's min-map job references E twice
-        # (the symmetric union) — lazy here would compute the whole
-        # upstream pair pipeline twice concurrently
-        .localCheckpoint(eager=True)
+        # lazy checkpoint + immediate count: one materializing job
+        # (the count below is the single first reference); the first
+        # round's symmetric union then reads the checkpoint
+        .localCheckpoint(eager=False)
     )
+    n_edges = E.count()  # materializes the checkpoint
     # nodes remembered up front: star rounds may drop a node's edges
     # once it is linked through others, but every input node needs a
     # label row at the end
@@ -509,26 +521,23 @@ def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_edges = E.count()  # cheap: the checkpoint is materialized
+    # Broadcast gate decided ONCE (r6): the min-maps are bounded by
+    # the live node count, which only shrinks across star rounds, so
+    # one count here replaces two materialize+count jobs per round.
+    # BYTES-based budget (ADVICE r5, ~32 B framed per two-long row)
+    # so a round's broadcast stays near broadcast-join scale; small
+    # graphs keep plain joins (per-round broadcast builds cost more
+    # than tiny shuffles and pile up in driver memory over many
+    # rounds — the high-diameter case).
+    n_nodes = nodes.count()
+    use_bcast = n_edges >= 100_000 and n_nodes * 32 <= (32 << 20)
     for _ in range(max_iter):
         # -- large-star: symmetrize, group by u, link larger nbrs to m
         sym = E.select(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).union(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        # the min-maps are bounded by the live node count — on BIG
-        # edge sets broadcast them (size-gated) so the star relabels
-        # are map-side and the only per-round shuffles are the two
-        # groupBys + distincts; small graphs keep plain joins (the
-        # per-round broadcast build costs more than tiny shuffles
-        # and piles up in driver memory over many rounds)
         mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
-        if n_edges >= 100_000:
-            mins = mins.localCheckpoint(eager=True)
-            minsj = (
-                F.broadcast(mins) if mins.count() <= 4_000_000 else mins
-            )
-        else:
-            minsj = mins
+        minsj = F.broadcast(mins) if use_bcast else mins
         m = F.least("u", "mv")
         E1 = (
             sym.join(minsj, "u")
@@ -541,12 +550,14 @@ def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         #    all smaller nbrs AND u itself to the min
         sym2 = E1.select(F.col("b").alias("u"), F.col("a").alias("v"))
         mins2 = sym2.groupBy("u").agg(F.min("v").alias("mv"))
-        if n_edges >= 100_000:
-            mins2 = mins2.localCheckpoint(eager=True)
-            mins2j = (
-                F.broadcast(mins2) if mins2.count() <= 4_000_000
-                else mins2
-            )
+        if use_bcast:
+            mins2j = F.broadcast(mins2)
+        elif n_edges >= 100_000:
+            # big-remainder shuffle path: mins2 is referenced twice
+            # (join + union) — materialize once before the fan-out
+            mins2 = mins2.localCheckpoint(eager=False)
+            mins2.count()
+            mins2j = mins2
         else:
             mins2j = mins2
         E_new = (
