@@ -67,20 +67,38 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     """60-bit SimHash per document: per bit j, majority vote of token
     hashes' bit j (+1/-1), assembled without any row explosion — one
-    aggregation pass with `bits` expressions."""
+    aggregation pass.
+
+    The vote is computed as packed bit-counts (r6): the ±1 sum b_j is
+    2*S_j - n for S_j = count of set bits j and n = token count, so
+    b_j >= 0 is exactly 2*S_j >= n — pure integer arithmetic, same
+    signature bit. Each aggregate long carries TWO 32-bit counter
+    fields (bits j and j+30), halving the aggregation buffer and the
+    per-row expression count vs one ±1 CASE per bit. Field overflow
+    needs 2^32 tokens in one document (a >2 GB text cell — impossible
+    in Spark), so the packing is exact."""
+    half = (bits + 1) // 2
     toks = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
     ).withColumn("h", token_hash_expr(F.col("tok")))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias("b%d" % j)
-        for j in range(bits)
-    ]
+    aggs = [F.count("*").alias("n")]
+    for j in range(half):
+        lo = F.shiftright("h", j).bitwiseAND(1)
+        if j + half < bits:
+            hi = F.shiftright("h", j + half).bitwiseAND(1)
+            packed = lo + F.shiftleft(hi.cast("long"), 32)
+        else:
+            packed = lo.cast("long")
+        aggs.append(F.sum(packed).alias("s%d" % j))
     voted = toks.groupBy("doc_id").agg(*aggs)
+    n = F.col("n")
     sig = None
     for j in range(bits):
-        term = F.when(F.col("b%d" % j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        if j < half:
+            s_j = F.col("s%d" % j).bitwiseAND(F.lit(0xFFFFFFFF))
+        else:
+            s_j = F.shiftright(F.col("s%d" % (j - half)), 32)
+        term = F.when(2 * s_j >= n, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return voted.select("doc_id", sig.cast("long").alias("simhash"))
 
@@ -670,8 +688,19 @@ def ngram_jaccard_pairs(
         "lang",
         (F.col("n_chars") / 64).cast("long").alias("size_bucket"),
     )
+    # Grams are compared as xxhash64 LONGS from here on (r6): the
+    # gram string rides zero shuffles — the dedup, the gdf aggregate,
+    # the rank-window sort, the candidate join and the verification
+    # join all move 8-byte hashes instead of ~25-byte strings. Same
+    # stance as the minhash verification: 64-bit collisions across a
+    # corpus gram vocabulary are ~n²/2^65, and a collision can only
+    # merge two grams (the prefix order stays a consistent total
+    # order, which is all the prefix principle needs).
     exploded = word_ngram_rows(
         blocked, n, extra_cols=("lang", "size_bucket")
+    ).select(
+        "doc_id", "lang", "size_bucket",
+        F.xxhash64("gram").alias("gram"),
     ).dropDuplicates(["doc_id", "gram"])
 
     # global gram document frequency -> rarest-first prefix per doc;
