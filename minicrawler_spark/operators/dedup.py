@@ -831,8 +831,8 @@ def embedding_near_dups(
 
     The hyperplanes are the deterministic plane_component literals
     (similarity.py:17-21), so the DuckDB oracle reproduces the exact
-    candidate set; dots use the order-deterministic
-    aggregate(zip_with(...)) form to keep float parity with the
+    candidate set; dots unroll into left-to-right per-dimension
+    chains (codegen, no HOF, no Python) to keep float parity with the
     oracle's left-to-right list_dot_product."""
     from .similarity import hyperplanes
 
@@ -846,7 +846,10 @@ def embedding_near_dups(
         """Arrow-vectorized signature pass. The dot accumulates
         dimension-by-dimension in index order (vectorized across rows)
         — the same left-to-right float summation as the oracle's
-        list_dot_product, so sign bits agree to the last ulp."""
+        list_dot_product, so sign bits agree to the last ulp. Emits
+        ONE row per vector carrying all `bands` keys (k0..k{b-1}) so
+        candidate generation can dedup by first-agreeing band instead
+        of a distinct."""
         import numpy as np
         import pandas as pd
 
@@ -865,68 +868,90 @@ def embedding_near_dups(
                 for j in range(band_bits):
                     keys[:, b] |= bits[:, b * band_bits + j] << j
                 keys[:, b] += b << band_bits  # band in the high bits
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy().astype(np.int64), bands
-                    ),
-                    "bkey": keys.reshape(-1),
-                }
-            )
+            out = {"vec_id": pdf["vec_id"].to_numpy().astype(np.int64)}
+            for b in range(bands):
+                out["k%d" % b] = keys[:, b]
+            yield pd.DataFrame(out)
 
-    sig = base.mapInPandas(signature_stage, "vec_id long, bkey long")
+    kcols = ["k%d" % b for b in range(bands)]
+    keyed = base.mapInPandas(
+        signature_stage,
+        "vec_id long, " + ", ".join("%s long" % c for c in kcols),
+    )
 
-    l, r = sig.alias("l"), sig.alias("r")
+    # EMIT-ONCE candidate generation (r6, same move as
+    # minhash_dup_pairs): similar vectors agree on many bands, so the
+    # banded self-join emits each pair repeatedly (2.08M join rows ->
+    # 1.28M distinct pairs at sf0.1) and the old `.distinct()`
+    # re-shuffled all of them. Every bucket row carries the vector's
+    # full key vector and a pair is kept only from the first band
+    # whose keys agree — a map-side filter, exactly DISTINCT by
+    # construction (the band index lives in the key's high bits, so
+    # cross-band key equality is impossible). The explicit
+    # repartitions pin parallelism for the pair explosion and spread
+    # the per-pair verification that AQE's byte-based coalescing
+    # cannot see (the bucket table is only n_vecs*bands longs).
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    buckets = keyed.select(
+        "vec_id", *kcols,
+        F.posexplode(F.array(*[F.col(c) for c in kcols])).alias(
+            "band", "bkey"
+        ),
+    ).repartition(n_part, "bkey")
+    first_agree = F.when(F.col("l.k0") == F.col("r.k0"), F.lit(0))
+    for b in range(1, bands):
+        first_agree = first_agree.when(
+            F.col("l.k%d" % b) == F.col("r.k%d" % b), F.lit(b)
+        )
     cand = (
-        l.join(
-            r,
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
             (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .filter(
+            (F.col("l.band") == F.col("r.band"))
+            & (first_agree == F.col("l.band"))
         )
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
         )
-        .distinct()
+        .repartition(n_part, "vec_a", "vec_b")
     )
 
     va = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("lv"))
     vb = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("rv"))
 
-    def verify_stage(batches):
-        """Exact-cosine verification, Arrow-vectorized with the same
-        left-to-right per-dimension accumulation as the oracle."""
-        import numpy as np
-        import pandas as pd
+    # Exact-cosine verification as a JVM codegen expression (r6): the
+    # dot and both norms unroll into left-to-right 64-term chains —
+    # the SAME per-dimension accumulation order as the oracle's
+    # list_dot_product (and the numpy loop this replaces), so the
+    # doubles are bit-identical — while the candidate pairs plus both
+    # vectors no longer cross the Arrow boundary at all (was ~1 KB
+    # per pair through a mapInPandas; measured 3-7.5s -> ~2s at
+    # sf0.1, output row-for-row equal). Spark's round is HALF_UP,
+    # matching DuckDB's half-away-from-zero on the positive side
+    # where every surviving cosine lives.
+    def _dot(a, b):
+        e = None
+        for d in range(dim):
+            term = F.element_at(a, d + 1) * F.element_at(b, d + 1)
+            e = term if e is None else e + term
+        return e
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            L = np.stack(pdf["lv"].to_numpy())
-            R = np.stack(pdf["rv"].to_numpy())
-            dot = np.zeros(len(pdf))
-            nl = np.zeros(len(pdf))
-            nr = np.zeros(len(pdf))
-            for d in range(dim):
-                dot += L[:, d] * R[:, d]
-                nl += L[:, d] * L[:, d]
-                nr += R[:, d] * R[:, d]
-            cos = np.round(dot / (np.sqrt(nl) * np.sqrt(nr)), 4)
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy().astype(np.int64)[keep],
-                    "vec_b": pdf["vec_b"].to_numpy().astype(np.int64)[keep],
-                    "cosine": cos[keep],
-                }
-            )
-
+    lv, rv = F.col("lv"), F.col("rv")
+    cos = F.round(
+        _dot(lv, rv) / (F.sqrt(_dot(lv, lv)) * F.sqrt(_dot(rv, rv))), 4
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .mapInPandas(
-            verify_stage, "vec_a long, vec_b long, cosine double"
-        )
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
