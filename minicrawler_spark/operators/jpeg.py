@@ -273,6 +273,13 @@ def _parse_segments(data: bytes):
             for i in range(nc):
                 cid = seg[6 + 3 * i]
                 hv = seg[7 + 3 * i]
+                # a zero sampling factor (hv nibble 0) is invalid per
+                # ITU T.81 B.2.2 and would divide-by-zero in the scan
+                # decoder (ADVICE r5) — reject like probe_av's parsers
+                if (hv >> 4) == 0 or (hv & 15) == 0:
+                    raise JpegError(
+                        "invalid sampling factor 0x%02X" % hv
+                    )
                 comps.append({
                     "id": cid, "h": hv >> 4, "v": hv & 15,
                     "tq": seg[8 + 3 * i],

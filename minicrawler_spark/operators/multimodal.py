@@ -845,7 +845,8 @@ def probe_av(media: DataFrame, n_buckets: int = 0) -> DataFrame:
                             "no AV prober for this magic (mp4/wav/mp3)"
                         )
                 except (NotImplementedError, ValueError, IndexError,
-                        MemoryError, struct.error) as e:
+                        ZeroDivisionError, MemoryError,
+                        struct.error) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
             yield pd.DataFrame(
@@ -934,7 +935,8 @@ def sample_frames(media: DataFrame, max_frames: int = 16,
                         })
                     out.extend(rows)  # all-or-error per video
                 except (NotImplementedError, ValueError, IndexError,
-                        MemoryError, struct.error) as e:
+                        ZeroDivisionError, MemoryError,
+                        struct.error) as e:
                     out.append({
                         "media_ref": ref, "codec": None,
                         "frame_index": None, "sample_number": None,
@@ -1016,6 +1018,7 @@ def decode_and_featurize(media: DataFrame, batch_hint: int = 256,
                     w, h, feat = _decode_image(data)
                     rec.update({"width": w, "height": h, "feature": feat})
                 except (NotImplementedError, ValueError, MemoryError,
+                        IndexError, ZeroDivisionError,
                         struct.error) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
@@ -1322,6 +1325,7 @@ def decode_pixels(media: DataFrame, n_buckets: int = 0) -> DataFrame:
                     rec.update({"width": w, "height": h,
                                 "pixel_format": fmt, "pixels": px})
                 except (NotImplementedError, ValueError, MemoryError,
+                        IndexError, ZeroDivisionError,
                         struct.error) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)
@@ -1548,6 +1552,7 @@ def decode_audio(media: DataFrame, n_buckets: int = 0) -> DataFrame:
                                 "n_frames": nf, "sample_format": "f32",
                                 "samples": samples})
                 except (NotImplementedError, ValueError, MemoryError,
+                        IndexError, ZeroDivisionError,
                         struct.error) as e:
                     rec["decode_error"] = str(e)
                 out.append(rec)

@@ -416,14 +416,33 @@ def read_wet(spark: SparkSession, path: str,
     ).withColumn("n_chars", F.length("text"))
 
 
-def _parse_warc(data: bytes, want_type: Optional[str] = "response"):
+def _is_own_warcinfo(data: bytes) -> bool:
+    """True when `data` opens with THIS engine's warcinfo record
+    (_warcinfo_record writes these exact bytes). Gates the
+    WARC-Target-URI unescape (ADVICE r5): only archives this writer
+    produced percent-escaped their URI headers, so foreign archives
+    (e.g. Common Crawl segments, where 'a%20b' is a real URL byte
+    sequence) must be read verbatim."""
+    head = data[:512]
+    return (
+        b"WARC-Type: warcinfo" in head
+        and b"software: minicrawler-spark/" in data[:1024]
+    )
+
+
+def _parse_warc(data: bytes, want_type: Optional[str] = "response",
+                unescape: bool = False):
     """Yield (url, date, status, http_head, body) per record of
     `want_type` from an uncompressed WARC stream. For "response" the
     payload splits into HTTP head + body; for "conversion" (WET) the
     payload is the extracted text itself (status 0, empty head).
     `want_type=None` accepts any record type (the index-driven
     ranged reader already selected exactly the records it wants —
-    including WET conversion records — so no type filter applies)."""
+    including WET conversion records — so no type filter applies).
+    `unescape` reverses this writer's WARC-Target-URI escaping and
+    must only be set for archives this engine wrote (the caller
+    detects that via _is_own_warcinfo / the CDXJ sidecar); foreign
+    URIs pass through byte-for-byte (ADVICE r5)."""
     pos = 0
     while pos < len(data):
         if data[pos:pos + 5] != b"WARC/":
@@ -443,7 +462,9 @@ def _parse_warc(data: bytes, want_type: Optional[str] = "response"):
         rtype = headers.get("warc-type")
         if want_type is not None and rtype != want_type:
             continue
-        url = _cdx_unescape(headers.get("warc-target-uri", ""))
+        url = headers.get("warc-target-uri", "")
+        if unescape:
+            url = _cdx_unescape(url)
         date = headers.get("warc-date", "")
         if rtype != "response":
             yield url, date, 0, b"", payload
@@ -562,9 +583,16 @@ def read_warc(spark: SparkSession, path: str,
         rows = []
         for pdf in batches:
             for fpath in pdf["path"]:
+                # per-file own-archive flag: this writer opens every
+                # rolled file with its warcinfo record, so the flag is
+                # set before any indexed record of an own archive and
+                # stays False for foreign files (ADVICE r5)
+                own = False
                 for rec in _iter_members_stream(chunks_of(fpath)):
+                    if not own and _is_own_warcinfo(rec):
+                        own = True
                     for url, date, status, head, body in _parse_warc(
-                            rec, want_type):
+                            rec, want_type, unescape=own):
                         rows.append(
                             (url, date, status, head, body, fpath)
                         )
@@ -654,8 +682,12 @@ def read_warc_records(
                 member = the_fs.read_range(
                     fpath, int(r["offset"]), int(r["length"])
                 )
+                # CDXJ sidecars exist only for archives this engine
+                # wrote, so the records fetched through them always
+                # carry this writer's URI escaping
                 for url, date, status, head, body in _parse_warc(
-                    gzip.decompress(member), want_type=None
+                    gzip.decompress(member), want_type=None,
+                    unescape=True,
                 ):
                     rows.append((url, date, status, head, body, fpath))
             yield pd.DataFrame(

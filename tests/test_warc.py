@@ -542,7 +542,10 @@ def test_warc_url_with_crlf_cannot_break_record_framing():
         "http://ok.test/a b", "2025-06-15T00:00:00Z",
         b"HTTP/1.1 200\r\nContent-Length: 2\r\n\r\nok",
     )
-    recs = list(_parse_warc(evil + good))
+    # unescape=True: this stream is this writer's own bytes (the file
+    # readers detect that via the warcinfo record / CDXJ sidecar;
+    # foreign archives keep their URI bytes verbatim — ADVICE r5)
+    recs = list(_parse_warc(evil + good, unescape=True))
     assert len(recs) == 2
     # URLs round-trip exactly, including the control bytes + space
     assert recs[0][0] == evil_url
