@@ -49,7 +49,11 @@ def _binned(docs: DataFrame, budget: int, num_partitions: int):
         )
         .repartitionByRange(p, "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()  # pin pids; sums + cumsum read one scan
+        # lazy checkpoint: the psums collect below is the single
+        # first reference, so it materializes the checkpoint in ONE
+        # job (eager + collect was two); the cumsum pass then reads
+        # the pinned pids from the materialized checkpoint (r6)
+        .localCheckpoint(eager=False)
     )
     # phase 2: one row per partition to the driver (bounded by the
     # partition count, not the data)
