@@ -113,7 +113,10 @@ def q_dup_clusters(spark, sf):
     almost-clique on the pathologically self-similar synthetic
     corpus — a data artifact, not an algorithmic need)."""
     pairs = D.minhash_dup_pairs(_t(spark, sf, "documents"), threshold=0.9)
-    return D.dup_clusters(pairs)
+    # minhash_dup_pairs' emit-once candidates are canonical by
+    # construction (doc_a < doc_b, no dupes), so the CC can skip its
+    # defensive normalize+distinct over the full edge set (r6)
+    return D.dup_clusters(pairs, assume_canonical=True)
 
 
 def q_dup_clusters_star(spark, sf):
@@ -122,7 +125,7 @@ def q_dup_clusters_star(spark, sf):
     adversarially long dup chains); must be hash-exact against the
     SAME recursive-CTE oracle as the propagation method."""
     pairs = D.minhash_dup_pairs(_t(spark, sf, "documents"), threshold=0.9)
-    return D.dup_clusters(pairs, method="star")
+    return D.dup_clusters(pairs, method="star", assume_canonical=True)
 
 
 def q_line_dedup(spark, sf):

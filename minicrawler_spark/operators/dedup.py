@@ -340,7 +340,8 @@ def minhash_dup_pairs(
 
 
 def dup_clusters(
-    pairs: DataFrame, max_iter: int = 25, method: str = "auto"
+    pairs: DataFrame, max_iter: int = 25, method: str = "auto",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from verified dup pairs — the survivor-
     selection step a real dedup pipeline runs after pair generation:
@@ -366,6 +367,13 @@ def dup_clusters(
       merged cluster becomes one node, so propagation's work is
       kept) and finishes with star rounds — exact for any diameter.
 
+    `assume_canonical=True` lets a caller that GUARANTEES its pair
+    set is already canonical — doc_a < doc_b, no duplicate rows, no
+    self-pairs (exactly what minhash_dup_pairs' emit-once candidate
+    generation produces) — skip the defensive normalize+distinct
+    shuffle over the full edge set (r6; ~1.3s of a 965k-edge graph
+    at sf0.1, and one full edge shuffle at any scale).
+
     The DuckDB oracle reproduces this with a recursive-CTE transitive
     closure + min aggregate (exact, engine-independent)."""
     if method not in ("auto", "propagate", "star"):
@@ -374,7 +382,9 @@ def dup_clusters(
         edges = pairs.select(
             F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
         )
-        return _star_components(edges).select(
+        return _star_components(
+            edges, assume_canonical=assume_canonical
+        ).select(
             F.col("node").alias("doc_id"),
             F.col("label").alias("cluster_id"),
         )
@@ -394,20 +404,25 @@ def dup_clusters(
     # preserves connectivity, the component min never relabels
     # (strict m < node), and convergence == no cross-label edge
     # remains.
-    cur = (
-        pairs.select(
-            F.least("doc_a", "doc_b").alias("a"),
-            F.greatest("doc_a", "doc_b").alias("b"),
+    if assume_canonical:
+        cur = pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).localCheckpoint(eager=False)
+    else:
+        cur = (
+            pairs.select(
+                F.least("doc_a", "doc_b").alias("a"),
+                F.greatest("doc_a", "doc_b").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            # lazy checkpoint + immediate count: the count is the
+            # single first reference, so it materializes the
+            # checkpoint in ONE job (eager + count was two); every
+            # later consumer — round 1's symmetric union included —
+            # reads the materialized checkpoint
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        # lazy checkpoint + immediate count: the count is the single
-        # first reference, so it materializes the checkpoint in ONE
-        # job (eager + count was two); every later consumer — round
-        # 1's symmetric union included — reads the materialized
-        # checkpoint (the round-3 single-reference discipline)
-        .localCheckpoint(eager=False)
-    )
     n_edges = cur.count()  # materializes the checkpoint
     labels = (
         cur.select(F.col("a").alias("node"))
@@ -417,15 +432,26 @@ def dup_clusters(
     )
     # Broadcast gate decided ONCE up front (r6): upd is bounded by
     # the live node count, which only shrinks under contraction, so
-    # one node count here replaces a count job per round. The gate is
+    # one bound here replaces a count job per round. The bound is an
+    # approx_count_distinct SUM over both endpoint columns — one
+    # shuffle-free pass instead of re-running the labels distinct
+    # just to count it (the gate needs an upper bound, not results).
     # BYTES-based (ADVICE r5): a two-long row is ~32 B framed, so the
     # 32 MB budget stays near broadcast-join scale instead of the old
     # 4M-row gate's hundreds of MB of driver memory per round.
     # Small graphs skip the broadcast entirely: per-round broadcast
     # builds cost more than tiny shuffles and pile up in driver
     # memory over many rounds (the high-diameter case).
-    n_nodes = labels.count()
-    use_bcast = n_edges >= 100_000 and n_nodes * 32 <= (32 << 20)
+    use_bcast = False
+    if n_edges >= 100_000:
+        nb = cur.agg(
+            (
+                F.approx_count_distinct("a", 0.02)
+                + F.approx_count_distinct("b", 0.02)
+            ).alias("nb")
+        ).first()["nb"]
+        # 5% headroom over the HLL bound keeps the gate conservative
+        use_bcast = int(nb * 1.05) * 32 <= (32 << 20)
     converged = False
     for _ in range(max_iter):
         sym = cur.union(
@@ -520,8 +546,9 @@ def dup_clusters(
                 RuntimeWarning,
             )
             # `cur` is already the label-space contracted edge set
-            # maintained by the loop above
-            roots = _star_components(cur)
+            # maintained by the loop above (canonical by
+            # construction: least/greatest + distinct every round)
+            roots = _star_components(cur, assume_canonical=True)
             root_map = roots.select(
                 F.col("node").alias("label"), F.col("label").alias("root")
             )
@@ -533,7 +560,8 @@ def dup_clusters(
     )
 
 
-def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+def _star_components(edges: DataFrame, max_iter: int = 64,
+                     assume_canonical: bool = False) -> DataFrame:
     """Connected components via alternating large-star/small-star
     rounds (Kiveris et al.) over a canonical undirected edge set:
     - large-star(u): every strictly LARGER neighbor of u links to
@@ -543,17 +571,25 @@ def _star_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     Both preserve connectivity and strictly contract toward a star
     per component centered at its min node; O(log²) rounds. Returns
     (node, label) for every node that appears in `edges`."""
-    E = (
-        edges.filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    if assume_canonical:
+        # caller guarantees a < b, no dupes, no self-pairs (the
+        # minhash emit-once pair shape) — skip the defensive
+        # normalize+distinct shuffle (r6)
+        E = edges.localCheckpoint(eager=False)
+    else:
+        E = (
+            edges.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+            )
+            .distinct()
+            # lazy checkpoint + immediate count: one materializing
+            # job (the count below is the single first reference);
+            # the first round's symmetric union then reads the
+            # checkpoint
+            .localCheckpoint(eager=False)
         )
-        .distinct()
-        # lazy checkpoint + immediate count: one materializing job
-        # (the count below is the single first reference); the first
-        # round's symmetric union then reads the checkpoint
-        .localCheckpoint(eager=False)
-    )
     n_edges = E.count()  # materializes the checkpoint
     # nodes remembered up front: star rounds may drop a node's edges
     # once it is linked through others, but every input node needs a
