@@ -121,17 +121,29 @@ def _perm_coeffs(k: int):
     return coeffs
 
 
-def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
-    """k-permutation MinHash signature columns mh0..mh{k-1}:
-    mh_i = min over tokens of (a_i * (h mod P) + b_i) mod P."""
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok")
+def _minhash_sigs_from_toks(tokarr: DataFrame, k: int) -> DataFrame:
+    """Signatures from a (doc_id, toks array<string>) table — the
+    shared-tokenize core of minhash_signatures/minhash_dup_pairs."""
+    toks = tokarr.select(
+        "doc_id", F.explode(F.col("toks")).alias("tok")
     ).withColumn("h", token_hash_expr(F.col("tok")) % _P)
     aggs = [
         F.min((F.col("h") * a + b) % _P).alias("mh%d" % i)
         for i, (a, b) in enumerate(_perm_coeffs(k))
     ]
     return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
+    """k-permutation MinHash signature columns mh0..mh{k-1}:
+    mh_i = min over tokens of (a_i * (h mod P) + b_i) mod P."""
+    return _minhash_sigs_from_toks(
+        docs.select(
+            "doc_id",
+            F.array_distinct(tokenize(F.col("text"))).alias("toks"),
+        ),
+        k,
+    )
 
 
 def minhash_dup_pairs(
@@ -160,10 +172,49 @@ def minhash_dup_pairs(
     True/False to force a path (both produce identical results —
     tests/test_operators.py pins equality)."""
     r = k // bands
-    sigs = minhash_signatures(docs, k)
-    toksets = docs.select(
+
+    if broadcast_verify is None:
+        # Size estimate WITHOUT a full-corpus tokenize pass (VERDICT
+        # r3 #3): when the docs table carries n_chars metadata the
+        # estimate is one column-pruned agg that never touches text;
+        # otherwise a 1% sample's tokenization extrapolates. Tokens ~
+        # chars/5 (whitespace-ish average — the gate only needs order
+        # of magnitude); 8 B per token hash + ~56 B row overhead.
+        if "n_chars" in docs.columns:
+            est = docs.select(
+                F.count("*").alias("n"),
+                F.sum("n_chars").alias("chars"),
+            ).first()
+            est_toks = int(est["chars"] or 0) // 5
+            est_docs = int(est["n"] or 0)
+        else:
+            est = docs.sample(0.01, seed=7).select(
+                F.count("*").alias("n"),
+                F.sum(F.size(tokenize(F.col("text")))).alias("toks"),
+            ).first()
+            # extrapolate; an empty sample means a tiny corpus, which
+            # estimates to 0 and correctly broadcasts
+            est_toks = int(est["toks"] or 0) * 100
+            est_docs = int(est["n"] or 0) * 100
+        est_bytes = est_toks * 8 + est_docs * 56
+        broadcast_verify = est_bytes <= broadcast_max_bytes
+
+    # ONE tokenize pass shared by the signature and verification
+    # sides (r6): both derive from the same per-doc distinct token
+    # array. On the broadcast (small-corpus) path a lazy checkpoint
+    # materializes it once inside the first consuming job — the old
+    # shape tokenized the corpus twice (sigs + toksets) and a third
+    # time per extra broadcast build. The big-corpus path keeps
+    # recomputing instead of persisting the full tokenized corpus
+    # (recompute from columnar parquet beats writing ~corpus-sized
+    # token arrays to local disk).
+    tokarr = docs.select(
         "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("toks")
     )
+    if broadcast_verify:
+        tokarr = tokarr.localCheckpoint(eager=False)
+    sigs = _minhash_sigs_from_toks(tokarr, k)
+    toksets = tokarr
     # Candidate generation runs entirely on 64-bit keys: the banded
     # bucket is one xxhash64 over (band, row minhashes) and documents
     # are their xxhash64(doc_id) — the self-join shuffle moves longs,
@@ -251,43 +302,23 @@ def minhash_dup_pairs(
         F.size("toks").alias("n_toks"),
     )
 
-    if broadcast_verify is None:
-        # Size estimate WITHOUT a full-corpus tokenize pass (VERDICT
-        # r3 #3): when the docs table carries n_chars metadata the
-        # estimate is one column-pruned agg that never touches text;
-        # otherwise a 1% sample's tokenization extrapolates. Tokens ~
-        # chars/5 (whitespace-ish average — the gate only needs order
-        # of magnitude); 8 B per token hash + ~56 B row overhead.
-        if "n_chars" in docs.columns:
-            est = docs.select(
-                F.count("*").alias("n"),
-                F.sum("n_chars").alias("chars"),
-            ).first()
-            est_toks = int(est["chars"] or 0) // 5
-            est_docs = int(est["n"] or 0)
-        else:
-            est = docs.sample(0.01, seed=7).select(
-                F.count("*").alias("n"),
-                F.sum(F.size(tokenize(F.col("text")))).alias("toks"),
-            ).first()
-            # extrapolate; an empty sample means a tiny corpus, which
-            # estimates to 0 and correctly broadcasts
-            est_toks = int(est["toks"] or 0) * 100
-            est_docs = int(est["n"] or 0) * 100
-        est_bytes = est_toks * 8 + est_docs * 56
-        broadcast_verify = est_bytes <= broadcast_max_bytes
-
     if not broadcast_verify:
         # Large-corpus path: pairs feed both the id-restriction and
         # the verification join — localCheckpoint so the LSH self-join
-        # is computed once, not per consumer.
+        # is computed once, not per consumer. The semi-restricted
+        # token side (bounded by the candidate docs, not the corpus)
+        # is checkpointed too: ha and hb below reference it once each
+        # and would otherwise re-run the corpus scan + semi join
+        # twice.
         pairs = pairs.localCheckpoint(eager=False)
         cand_ids = (
             pairs.select(F.col("hid_a").alias("hid"))
             .union(pairs.select(F.col("hid_b").alias("hid")))
             .distinct()
         )
-        hashed = hashed.join(cand_ids, "hid", "left_semi")
+        hashed = hashed.join(cand_ids, "hid", "left_semi").localCheckpoint(
+            eager=False
+        )
 
     ha = hashed.select(
         F.col("hid").alias("hid_a"), F.col("doc_id").alias("id_a"),
