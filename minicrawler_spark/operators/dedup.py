@@ -8,12 +8,18 @@ hash is the first 15 hex chars of md5 (60 bits, fits a signed int64
 in both engines), never xxhash64/hash (engine-specific).
 
 Scale notes (100 TB):
-- exact_dedup: hash-partition on a 64-bit content hash, not the text
-  itself — one shuffle of (hash, doc_id) pairs, body stays columnar;
+- exact_dedup: groups on the 256-bit content digest, not the text
+  itself — the shuffle carries 32 B per distinct document, body
+  stays columnar;
 - minhash signatures: one pass, k aggregate expressions per doc (no
-  row blowup); banding re-shuffles only (band, bucket) pairs;
-- candidate verification joins on bucket (bounded groups) — never a
-  cross join; skewed buckets are salt-split by `F.floor(seq/k)`.
+  row blowup); candidate pairs are emitted exactly once (first-
+  agreeing-band filter) so no candidate-scale distinct exchange
+  exists; explicit hash repartitions at the session's shuffle
+  parallelism pin the pair explosion's parallelism and spread the
+  per-pair verification CPU that AQE's byte-based view cannot see;
+- candidate verification joins on the pair's doc ids (bounded by the
+  candidate set) — never a cross join — behind the SSJoin size-ratio
+  prefilter.
 """
 
 from __future__ import annotations

@@ -954,9 +954,10 @@ def _canonicalize_df(df: DataFrame) -> DataFrame:
     mapInPandas, not a struct-returning pandas UDF: Catalyst re-
     evaluates a UDF once per extracted struct field, which multiplied
     the WHATWG parser cost 6x (measured). The already-canonical
-    majority is decided by pandas' C-level regex loop
-    (urlnorm.canonicalize_full_batch); only misses run the per-row
-    WHATWG state machine.
+    majority is decided by one compiled-regex match + cheap checks
+    per row (urlnorm.canonicalize_full_batch, r6 — replaced the
+    pandas str-op formulation, which paid ~3x in per-op overhead);
+    only misses run the per-row WHATWG state machine.
 
     Arrow-traffic design: Python emits only (href, errkind) — the
     other four canon columns are pure substrings of the href, so they
