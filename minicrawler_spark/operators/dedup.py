@@ -508,8 +508,10 @@ def dup_clusters(
         # invariant (connectivity preserved, min never relabels)
         # holds verbatim. Composing the small map with itself before
         # applying it halves label-chain depth per round: one fewer
-        # round and ~25% less wall on the sf0.1 graph, and O(log d)
-        # instead of O(d) rounds on chain-shaped remainders.
+        # round and ~25% less wall on the sf0.1 graph. (A constant-
+        # factor round reduction — chains still contract linearly;
+        # the star method remains the O(log²) path for adversarial
+        # diameters.)
         u2 = upd.alias("u2")
         upd = (
             upd.alias("u1")
